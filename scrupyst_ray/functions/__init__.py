@@ -1,0 +1,1 @@
+"""Stateless, vectorizable kernels used inside ``map_batches`` stages."""

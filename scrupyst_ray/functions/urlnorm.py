@@ -1,0 +1,232 @@
+"""URL normalization & canonicalization.
+
+From-scratch reimplementation of the subset of ``w3lib.url`` semantics that the
+reference engine depends on (w3lib is a public BSD library; it is NOT installed
+in this environment, so the behavior is rebuilt here from its documented
+contract and verified against the reference's golden request fingerprints,
+reference ``tests/test_utils_request.py:65-200``):
+
+- ``safe_url_string``  — applied to every Request URL at construction
+  (reference ``scrapy/http/request/__init__.py:228-239``).
+- ``canonicalize_url`` — query-param sorting, percent-encoding normalization,
+  fragment dropping; input to the request fingerprint
+  (reference ``scrapy/utils/request.py:87-96``).
+- ``strip_html5_whitespace`` — href cleanup in the link extractor
+  (reference ``scrapy/linkextractors/lxmlhtml.py:115-117``).
+- ``url_has_any_extension`` / ``url_is_from_any_domain`` — link filters
+  (reference ``scrapy/utils/url.py:43-62``).
+
+All functions are pure and deterministic; they are called per-value inside
+Arrow ``map_batches`` kernels (see ``scrupyst_ray.stages``).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+import string
+from urllib.parse import (
+    parse_qsl,
+    quote,
+    unquote,
+    unquote_to_bytes,
+    urlencode,
+    urlparse,
+    urlsplit,
+    urlunparse,
+    urlunsplit,
+)
+
+# RFC 3986 character classes (public spec).
+RFC3986_GEN_DELIMS = b":/?#[]@"
+RFC3986_SUB_DELIMS = b"!$&'()*+,;="
+RFC3986_RESERVED = RFC3986_GEN_DELIMS + RFC3986_SUB_DELIMS
+RFC3986_UNRESERVED = (string.ascii_letters + string.digits + "-._~").encode()
+EXTRA_SAFE_CHARS = b"|"  # kept unencoded for compatibility with real-world URLs
+RFC3986_USERINFO_SAFE_CHARS = RFC3986_SUB_DELIMS + b":"
+
+_SAFE_CHARS = RFC3986_RESERVED + RFC3986_UNRESERVED + EXTRA_SAFE_CHARS + b"%"
+_PATH_SAFE_CHARS = _SAFE_CHARS.replace(b"#", b"")
+
+# WHATWG URL spec: strip leading/trailing C0 controls and space; remove ASCII
+# tab/newline anywhere.
+_ASCII_TAB_OR_NEWLINE = re.compile(r"[\t\n\r]")
+_C0_SPACE = "".join(chr(c) for c in range(0x21)) + "\x7f"
+
+HTML5_WHITESPACE = " \t\n\r\x0c"
+
+
+def strip_html5_whitespace(text: str) -> str:
+    """Strip HTML5 space characters (space, tab, LF, FF, CR) from both ends."""
+    return text.strip(HTML5_WHITESPACE)
+
+
+def _strip(url: str) -> str:
+    return _ASCII_TAB_OR_NEWLINE.sub("", url.strip(_C0_SPACE))
+
+
+def safe_url_string(
+    url: str,
+    encoding: str = "utf-8",
+    path_encoding: str = "utf-8",
+    quote_path: bool = True,
+) -> str:
+    """Return a percent-encoded, ASCII-safe version of *url*.
+
+    Mirrors w3lib ``safe_url_string``: IDNA-encode the host, percent-encode
+    non-safe characters in path/query/fragment (leaving existing %XX escapes
+    untouched because '%' is in the safe set), keep userinfo and port.
+    """
+    decoded = _strip(url)
+    parts = urlsplit(decoded)
+
+    netloc_bytes = b""
+    username, password = parts.username, parts.password
+    if username is not None or password is not None:
+        if username is not None:
+            safe_username = quote(
+                unquote(username), RFC3986_USERINFO_SAFE_CHARS.decode()
+            )
+            netloc_bytes += safe_username.encode(encoding)
+        if password is not None:
+            netloc_bytes += b":"
+            safe_password = quote(
+                unquote(password), RFC3986_USERINFO_SAFE_CHARS.decode()
+            )
+            netloc_bytes += safe_password.encode(encoding)
+        netloc_bytes += b"@"
+    hostname = parts.hostname
+    if hostname:
+        try:
+            netloc_bytes += hostname.encode("idna")
+        except UnicodeError:
+            netloc_bytes += hostname.encode(encoding)
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    if port is not None:
+        netloc_bytes += b":" + str(port).encode(encoding)
+    netloc = netloc_bytes.decode()
+
+    if quote_path:
+        path = quote(parts.path.encode(path_encoding), _PATH_SAFE_CHARS)
+    else:
+        path = parts.path
+
+    return urlunsplit(
+        (
+            parts.scheme,
+            netloc,
+            path,
+            quote(parts.query.encode(encoding), _SAFE_CHARS),
+            quote(parts.fragment.encode(encoding), _SAFE_CHARS),
+        )
+    )
+
+
+def _unquotepath(path: str) -> bytes:
+    # %2F / %3F must stay escaped inside a path (they would change its
+    # structure if decoded), so protect them before the general unquote.
+    for reserved in ("2f", "2F", "3f", "3F"):
+        path = path.replace("%" + reserved, "%25" + reserved.upper())
+    return unquote_to_bytes(path)
+
+
+def _parse_qsl_to_bytes(
+    qs: str, keep_blank_values: bool = False
+) -> list[tuple[bytes, bytes]]:
+    """Like ``urllib.parse.parse_qsl`` but returning raw bytes pairs
+    (so non-UTF8 percent-escapes round-trip losslessly)."""
+    pairs = qs.split("&")
+    out: list[tuple[bytes, bytes]] = []
+    for name_value in pairs:
+        if not name_value:
+            continue
+        nv = name_value.split("=", 1)
+        if len(nv) != 2:
+            if not keep_blank_values:
+                continue
+            nv.append("")
+        if len(nv[1]) or keep_blank_values:
+            name = unquote_to_bytes(nv[0].replace("+", " "))
+            value = unquote_to_bytes(nv[1].replace("+", " "))
+            out.append((name, value))
+    return out
+
+
+def canonicalize_url(
+    url: str,
+    keep_blank_values: bool = True,
+    keep_fragments: bool = False,
+    encoding: str | None = None,
+) -> str:
+    """Canonical form of *url* (w3lib ``canonicalize_url`` semantics):
+
+    - sort query arguments (first by key bytes, then value bytes),
+    - percent-encode path / query with uppercase escapes, decoding any
+      unnecessarily-escaped characters,
+    - normalize empty path to ``/``,
+    - lowercase the netloc (host),
+    - remove the fragment unless *keep_fragments*.
+
+    Golden oracle: the reference fingerprint test vectors
+    (``tests/test_utils_request.py:65-141``) which hash this string.
+    """
+    enc = encoding or "utf-8"
+    parts = urlparse(url)
+    try:
+        netloc = parts.netloc.encode("idna").decode() if parts.netloc else ""
+    except UnicodeError:
+        netloc = parts.netloc
+    scheme = parts.scheme
+    path = quote(parts.path.encode(enc), _PATH_SAFE_CHARS)
+    params = quote(parts.params.encode(enc), _SAFE_CHARS)
+    query = quote(parts.query.encode(enc), _SAFE_CHARS)
+    fragment = quote(parts.fragment.encode(enc), _SAFE_CHARS)
+
+    keyvals = _parse_qsl_to_bytes(query, keep_blank_values)
+    keyvals.sort()
+    query = urlencode(keyvals)
+
+    path = quote(_unquotepath(path), _PATH_SAFE_CHARS) or "/"
+    fragment = "" if not keep_fragments else fragment
+
+    return urlunparse(
+        (scheme, netloc.lower().rstrip(":"), path, params, query, fragment)
+    )
+
+
+def parse_host(url: str) -> str:
+    """Lowercased hostname of *url* ('' if unparseable) — the politeness /
+    seen-shard routing key (reference slot key: hostname,
+    ``scrapy/core/downloader/__init__.py:169-177``)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def url_has_any_extension(url: str, extensions: frozenset[str] | set[str]) -> bool:
+    """True if the URL path ends in one of *extensions* (reference
+    ``scrapy/utils/url.py:50-55``; used for IGNORED_EXTENSIONS)."""
+    try:
+        path = urlparse(url).path
+    except ValueError:
+        return False
+    lowercase_path = path.lower()
+    # handle multi-dot extensions such as "tar.gz"
+    return any(lowercase_path.endswith(f".{ext}") for ext in extensions) or (
+        posixpath.splitext(lowercase_path)[1].lstrip(".") in extensions
+    )
+
+
+def url_is_from_any_domain(url: str, domains: list[str]) -> bool:
+    """True if the URL host equals one of *domains* or is a subdomain of it
+    (reference ``scrapy/utils/url.py:43-48`` / offsite middleware regex
+    ``downloadermiddlewares/offsite.py:67-99``: ``^(.*\\.)?(d1|d2...)$``)."""
+    host = parse_host(url)
+    if not host:
+        return False
+    domains = [d.lower() for d in domains]
+    return any(host == d or host.endswith(f".{d}") for d in domains)
