@@ -1,0 +1,253 @@
+"""Link extraction — reference ``LxmlLinkExtractor`` semantics without lxml.
+
+Reimplements the follow-all configuration of the reference link extractor
+(``scrapy/linkextractors/lxmlhtml.py:60-284`` + defaults
+``linkextractors/__init__.py:18-133``) on the stdlib ``html.parser`` (lxml is
+not installed in this environment):
+
+per <a>/<area> href, in document order:
+  strip_html5_whitespace → urljoin(base_url, href) → safe_url_string(url,
+  encoding=response_encoding) → urljoin(response_url, url)
+  → Link(url, text=subtree string content, nofollow=rel contains "nofollow")
+filters (``_link_allowed``):
+  scheme ∈ {http, https, file, ftp} · allow/deny regex · allow/deny domains ·
+  IGNORED_EXTENSIONS (url_has_any_extension) · restrict_text
+dedup: first occurrence per ``canonicalize_url(url, keep_fragments=True)``
+  (``lxmlhtml.py:56-57,154-157``, unique=True default)
+base_url: first ``<base href>`` in the first 4096 characters of the decoded
+  body, resolved against the response URL (w3lib ``get_base_url`` semantics,
+  used at ``scrapy/utils/response.py`` / ``lxmlhtml.py:141-145``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+import pyarrow as pa
+
+from scrupyst_ray.functions.urlnorm import (
+    canonicalize_url,
+    safe_url_string,
+    strip_html5_whitespace,
+    url_has_any_extension,
+    url_is_from_any_domain,
+)
+
+# reference linkextractors/__init__.py:18-116 (verbatim list, public constant)
+IGNORED_EXTENSIONS = frozenset(
+    [
+        # archives
+        "7z", "7zip", "bz2", "rar", "tar", "tar.gz", "xz", "zip",
+        # images
+        "mng", "pct", "bmp", "gif", "jpg", "jpeg", "png", "pst", "psp",
+        "tif", "tiff", "ai", "drw", "dxf", "eps", "ps", "svg", "cdr",
+        "ico", "webp",
+        # audio
+        "mp3", "wma", "ogg", "wav", "ra", "aac", "mid", "au", "aiff",
+        # video
+        "3gp", "asf", "asx", "avi", "mov", "mp4", "mpg", "qt", "rm",
+        "swf", "wmv", "m4a", "m4v", "flv", "webm",
+        # office suites
+        "xls", "xlsm", "xlsx", "xltm", "xltx", "potm", "potx", "ppt",
+        "pptm", "pptx", "pps", "doc", "docb", "docm", "docx", "dotm",
+        "dotx", "odt", "ods", "odg", "odp",
+        # other
+        "css", "pdf", "exe", "bin", "rss", "dmg", "iso", "apk", "jar",
+        "sh", "rb", "js", "hta", "bat", "cpl", "msi", "msp", "py",
+    ]
+)
+
+_VALID_SCHEMES = frozenset(["http", "https", "file", "ftp"])
+
+_BASEURL_RE = re.compile(r"<base\s[^>]*href\s*=\s*[\"']?([^\"'\s>]+)", re.I)
+
+
+def get_base_url(text: str, response_url: str) -> str:
+    """First <base href> in the first 4 KiB of *text*, joined to the response
+    URL (w3lib ``get_base_url``)."""
+    m = _BASEURL_RE.search(text[:4096])
+    if m:
+        return urljoin(safe_url_string(response_url), safe_url_string(m.group(1)))
+    return safe_url_string(response_url)
+
+
+def _rel_has_nofollow(rel: str | None) -> bool:
+    return rel is not None and "nofollow" in rel.replace(",", " ").split()
+
+
+@dataclass
+class Link:
+    url: str
+    text: str = ""
+    nofollow: bool = False
+
+
+class _AnchorParser(HTMLParser):
+    """Collect (href, rel, subtree-text) for <a>/<area>, in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[list] = []  # [href, rel, [text chunks]] finalized lists
+        self._open: list[list] = []  # stack of currently-open anchor entries
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in ("a", "area"):
+            d = dict(attrs)
+            href = d.get("href")
+            if href is not None:
+                entry = [href, d.get("rel"), []]
+                self.anchors.append(entry)
+                if tag == "a":
+                    self._open.append(entry)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in ("a", "area"):
+            d = dict(attrs)
+            href = d.get("href")
+            if href is not None:
+                self.anchors.append([href, d.get("rel"), []])
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a" and self._open:
+            self._open.pop()
+
+    def handle_data(self, data: str) -> None:
+        for entry in self._open:
+            entry[2].append(data)
+
+
+@dataclass
+class LinkExtractorConfig:
+    """Follow-all defaults of the reference ``LxmlLinkExtractor``."""
+
+    allow: list[str] = field(default_factory=list)  # regex whitelist
+    deny: list[str] = field(default_factory=list)  # regex blacklist
+    allow_domains: list[str] = field(default_factory=list)
+    deny_domains: list[str] = field(default_factory=list)
+    deny_extensions: frozenset[str] = IGNORED_EXTENSIONS
+    restrict_text: list[str] = field(default_factory=list)
+    unique: bool = True
+
+    def __post_init__(self) -> None:
+        self._allow_res = [re.compile(r) for r in self.allow]
+        self._deny_res = [re.compile(r) for r in self.deny]
+        self._restrict_res = [re.compile(r) for r in self.restrict_text]
+
+    def link_allowed(self, link: Link) -> bool:
+        # mirrors LxmlLinkExtractor._link_allowed (lxmlhtml.py:217-249)
+        scheme = link.url.split("://", 1)[0]
+        if scheme not in _VALID_SCHEMES:
+            return False
+        if self._allow_res and not any(r.search(link.url) for r in self._allow_res):
+            return False
+        if self._deny_res and any(r.search(link.url) for r in self._deny_res):
+            return False
+        if self.allow_domains and not url_is_from_any_domain(
+            link.url, self.allow_domains
+        ):
+            return False
+        if self.deny_domains and url_is_from_any_domain(link.url, self.deny_domains):
+            return False
+        if self.deny_extensions and url_has_any_extension(
+            link.url, self.deny_extensions
+        ):
+            return False
+        if self._restrict_res and not any(
+            r.search(link.text) for r in self._restrict_res
+        ):
+            return False
+        return True
+
+
+DEFAULT_EXTRACTOR = LinkExtractorConfig()
+
+
+def extract_links(
+    text: str,
+    response_url: str,
+    response_encoding: str = "utf-8",
+    config: LinkExtractorConfig = DEFAULT_EXTRACTOR,
+) -> list[Link]:
+    """All followable links of one decoded page, reference order & filters."""
+    parser = _AnchorParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        pass  # recover what was parsed so far (lxml is similarly lenient)
+    base_url = get_base_url(text, response_url)
+    response_url_safe = safe_url_string(response_url)
+
+    links: list[Link] = []
+    for href, rel, chunks in parser.anchors:
+        try:
+            attr_val = strip_html5_whitespace(href)
+            attr_val = urljoin(base_url, attr_val)
+        except ValueError:
+            continue  # bogus link
+        try:
+            url = safe_url_string(attr_val, encoding=response_encoding)
+        except ValueError:
+            continue
+        url = urljoin(response_url_safe, url)
+        link = Link(url, "".join(chunks), nofollow=_rel_has_nofollow(rel))
+        if config.link_allowed(link):
+            links.append(link)
+
+    if config.unique:
+        seen: set[str] = set()
+        deduped: list[Link] = []
+        for link in links:
+            key = canonicalize_url(link.url, keep_fragments=True)
+            if key not in seen:
+                seen.add(key)
+                deduped.append(link)
+        return deduped
+    return links
+
+
+_EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("anchor", pa.string()),
+        ("nofollow", pa.bool_()),
+        ("link_idx", pa.int32()),
+    ]
+)
+
+
+def extract_links_batch(
+    texts: list[str],
+    urls: list[str],
+    encodings: list[str],
+    config: LinkExtractorConfig = DEFAULT_EXTRACTOR,
+) -> pa.Table:
+    """Explode pages → edges table ``(src, dst, anchor, nofollow, link_idx)``.
+    ``link_idx`` is the per-page document-order index (deterministic seq
+    tiebreaker for frontier ordering parity, SURVEY.md §4.2)."""
+    src: list[str] = []
+    dst: list[str] = []
+    anchor: list[str] = []
+    nofollow: list[bool] = []
+    link_idx: list[int] = []
+    for text, url, enc in zip(texts, urls, encodings):
+        for i, link in enumerate(extract_links(text, url, enc, config)):
+            src.append(url)
+            dst.append(link.url)
+            anchor.append(link.text)
+            nofollow.append(link.nofollow)
+            link_idx.append(i)
+    return pa.table(
+        {
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "anchor": pa.array(anchor, pa.string()),
+            "nofollow": pa.array(nofollow, pa.bool_()),
+            "link_idx": pa.array(link_idx, pa.int32()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
