@@ -1,0 +1,40 @@
+"""Crawl configuration.
+
+A plain dataclass keeping the reference's setting names for the implemented
+subset (reference defaults: ``scrapy/settings/default_settings.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # politeness (reference: CONCURRENT_REQUESTS_PER_DOMAIN=8 default_settings.py:220,
+    # DOWNLOAD_DELAY=0 :245; our per-round token budget per host plays the role of
+    # "requests a host's slot admits during one superstep", SURVEY.md ST3)
+    concurrent_requests_per_domain: int = 8
+    download_delay: float = 0.0
+    # depth (spidermiddlewares/depth.py:30-101; DEPTH_LIMIT=0 means "no limit")
+    depth_limit: int = 0
+    depth_priority: int = 1  # BFO parity config (FIXTURES.md §7)
+    # url length (default_settings.py:528)
+    urllength_limit: int = 2083
+    # robots (default_settings.py:474-478)
+    robotstxt_obey: bool = True
+    user_agent: str = "scrupyst-ray/0.1 (+local)"
+    # offsite: empty = no restriction (spider allowed_domains)
+    allowed_domains: list[str] = field(default_factory=list)
+    # follow rel=nofollow edges? (the reference LinkExtractor keeps them
+    # flagged; following is spider policy — default off for a polite crawler)
+    follow_nofollow: bool = False
+    # stop conditions (extensions/closespider.py:37-150)
+    closespider_pagecount: int = 0  # 0 = unlimited
+    max_rounds: int = 0  # 0 = until frontier empty
+    # scale knobs
+    seen_shards: int = 16  # URL-seen / politeness state shards (>= cluster cores)
+    max_round_candidates: int = 1_000_000  # frontier cap per round (shuffle bound)
+    fetch_buckets: int = 16  # hash(url) buckets for the fetch join
+    parse_batch_size: int = 256  # html-heavy stage batch size
+    parse_concurrency: int | None = None  # None = let Ray size the task pool
