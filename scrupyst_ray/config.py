@@ -16,6 +16,10 @@ class CrawlConfig:
     # "requests a host's slot admits during one superstep", SURVEY.md ST3)
     concurrent_requests_per_domain: int = 8
     download_delay: float = 0.0
+    # one superstep round models this many seconds of politeness wall-clock:
+    # per-host budget = round_seconds / effective_delay when a delay is set
+    # (time-free determinism; see state/politeness.py)
+    round_seconds: float = 8.0
     # depth (spidermiddlewares/depth.py:30-101; DEPTH_LIMIT=0 means "no limit")
     depth_limit: int = 0
     depth_priority: int = 1  # BFO parity config (FIXTURES.md §7)

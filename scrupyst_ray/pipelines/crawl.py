@@ -1,0 +1,507 @@
+"""The crawl engine: an iterative superstep driver over Ray Data pipelines.
+
+Replaces the reference's single-process asyncio event loop
+(``scrapy/core/engine.py:269-427``) with frontier-expansion rounds
+(SURVEY.md §7.0).  One round =
+
+    frontier_N ──groupby(shard)──▶ StateShard actors   (dedup + seen + robots
+               │                                         + per-host budget)
+               ├─ admitted ──groupby(bucket)──▶ fetch+parse (bucketed page
+               │                                 store; html never shuffled)
+               │      └─ side-write: fetched artifact → checkpoint
+               ├─ edges → candidate filters → frontier_{N+1} candidates
+               └─ deferred (over budget) ∪ candidates → frontier_{N+1}
+
+Shuffles per round move only frontier METADATA (~100 B/row): one groupby by
+host-shard, one by url-bucket.  The page corpus itself is never shuffled or
+re-scanned (see ``stages/fetch.py``).
+
+Checkpoint layout (resume = reference JOBDIR contract,
+``scrapy/core/scheduler.py:441-496`` + ``dupefilters.py:76-82``):
+
+    workdir/
+      robots/shard=K.parquet          robots side-table, built once
+      seen/shard=K/round=N.parquet    per-round fingerprint deltas
+      rounds/round-N/frontier/        frontier at the START of round N
+      rounds/round-N/fetched/         crawl artifact (bucket=K.parquet)
+      rounds/round-N/MANIFEST.json    commit record — written LAST (atomic
+                                      rename).  NOTE: "round-N", not
+                                      "round=N" — an "=" in a parent dir
+                                      would trigger hive-partition inference
+                                      on read-back and inject a stray column.
+                                      rename); a round without a manifest is
+                                      re-run from its frontier on resume
+
+Every file write is tmp+rename and every actor method is idempotent per
+round, so a kill at ANY point resumes bit-identically (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from scrupyst_ray.config import CrawlConfig
+from scrupyst_ray.functions.hashing import hash_mod_batch
+from scrupyst_ray.stages.fetch import FetchParse, build_page_store
+from scrupyst_ray.stages.frontier import (
+    DROP_REASON_NAMES,
+    KEEP,
+    edges_to_candidates,
+    seeds_to_frontier,
+)
+from scrupyst_ray.state.shard import (
+    ADMITTED,
+    DEFERRED,
+    ROBOTS_FORBIDDEN,
+    SEEN_DUP,
+    StateShard,
+)
+
+GATE_NAMES = {
+    ADMITTED: "admitted",
+    DEFERRED: "politeness/deferred",
+    ROBOTS_FORBIDDEN: "robotstxt/forbidden",
+    SEEN_DUP: "dupefilter/filtered",
+}
+
+
+def _shard_gate_fn(actors: list, round_id: int):
+    """Build the per-shard-group gate function: within-round dedup (min
+    order_key wins — deterministic), then ONE StateShard RPC carrying only
+    the small columns."""
+
+    def gate(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.append_column("gate_status", pa.array([], pa.int8()))
+        shard_id = group["shard"][0].as_py()
+        # deterministic processing order: host, then priority desc, then FIFO
+        group = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("host", "ascending"),
+                    ("priority", "descending"),
+                    ("order_key", "ascending"),
+                ],
+            )
+        )
+        fps = group["fp"].to_pylist()
+        skip_seen = (
+            pc.or_(group["dont_filter"], group["already_enqueued"])
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        # within-round fp dedup: first (lowest order_key among equal priority
+        # ... we need global winner by (priority desc, order_key)); compute
+        # winner per fp among non-bypass rows.
+        order_rank = pc.sort_indices(
+            group,
+            sort_keys=[("priority", "descending"), ("order_key", "ascending")],
+        ).to_numpy(zero_copy_only=False)
+        rank_of_row = np.empty(len(order_rank), dtype=np.int64)
+        rank_of_row[order_rank] = np.arange(len(order_rank))
+        winner: dict[bytes, int] = {}
+        n = group.num_rows
+        local_dup = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if skip_seen[i]:
+                continue
+            fp = fps[i]
+            j = winner.get(fp)
+            if j is None or rank_of_row[i] < rank_of_row[j]:
+                if j is not None:
+                    local_dup[j] = True
+                winner[fp] = i
+            else:
+                local_dup[i] = True
+
+        live = np.flatnonzero(~local_dup)
+        fp64 = group["fp64"].to_numpy(zero_copy_only=False)
+        hosts = group["host"].to_pylist()
+        urls = group["url"].to_pylist()
+        decisions = ray.get(
+            actors[shard_id].process.remote(
+                round_id,
+                [fps[i] for i in live],
+                fp64[live],
+                skip_seen[live],
+                [hosts[i] for i in live],
+                [urls[i] for i in live],
+            )
+        )
+        status = np.full(n, SEEN_DUP, dtype=np.int8)  # local dups = filtered
+        status[live] = decisions
+        return group.append_column("gate_status", pa.array(status, pa.int8()))
+
+    return gate
+
+
+@dataclass
+class RoundStats:
+    round: int
+    frontier: int = 0
+    admitted: int = 0
+    deferred: int = 0
+    robots_forbidden: int = 0
+    dupefilter_filtered: int = 0
+    fetched: int = 0
+    fetch_miss: int = 0
+    edges: int = 0
+    candidates_kept: int = 0
+    candidate_drops: dict = field(default_factory=dict)
+    wall_s: float = 0.0
+
+
+@dataclass
+class CrawlResult:
+    workdir: str
+    rounds: list[RoundStats]
+    stopped_reason: str
+
+    @property
+    def total_fetched(self) -> int:
+        return sum(r.fetched for r in self.rounds)
+
+    def fetched_dataset(self) -> "ray.data.Dataset":
+        """The crawl artifact over all rounds (unordered blocks; sort by
+        (round, -priority, order_key) for the crawl-order artifact)."""
+        rounds_dir = os.path.join(self.workdir, "rounds")
+        paths = []
+        for d in sorted(os.listdir(rounds_dir)):
+            fdir = os.path.join(rounds_dir, d, "fetched")
+            if os.path.isdir(fdir):
+                paths.extend(
+                    os.path.join(fdir, f)
+                    for f in sorted(os.listdir(fdir))
+                    if f.endswith(".parquet")
+                )
+        return ray.data.read_parquet(paths)
+
+    def crawl_order_table(self) -> pa.Table:
+        """Small-scale helper: the full crawl order as one sorted table."""
+        t = self.fetched_dataset().to_arrow_refs()
+        tables = [ray.get(r) for r in t]
+        merged = pa.concat_tables([tb for tb in tables if tb.num_rows])
+        return merged.take(
+            pc.sort_indices(
+                merged,
+                sort_keys=[
+                    ("round", "ascending"),
+                    ("priority", "descending"),
+                    ("order_key", "ascending"),
+                ],
+            )
+        )
+
+
+class CrawlEngine:
+    """Drives the superstep loop.  Construct via :meth:`for_corpus`."""
+
+    def __init__(self, store_dir: str, workdir: str, cfg: CrawlConfig | None = None):
+        self.cfg = cfg or CrawlConfig()
+        self.store_dir = store_dir
+        self.workdir = workdir
+        self.rounds_dir = os.path.join(workdir, "rounds")
+        self.seen_dir = os.path.join(workdir, "seen")
+        self.robots_dir = os.path.join(workdir, "robots")
+        os.makedirs(self.rounds_dir, exist_ok=True)
+        self._actors: list | None = None
+
+    # -- setup ---------------------------------------------------------------
+
+    @classmethod
+    def for_corpus(
+        cls,
+        pages_path: str,
+        workdir: str,
+        cfg: CrawlConfig | None = None,
+        store_dir: str | None = None,
+    ) -> "CrawlEngine":
+        """Build (idempotently) the bucketed page store + robots side-table
+        for a raw page corpus, then return an engine over them."""
+        cfg = cfg or CrawlConfig()
+        store_dir = store_dir or os.path.join(workdir, "store")
+        build_page_store(pages_path, store_dir, cfg.fetch_buckets)
+        eng = cls(store_dir, workdir, cfg)
+        eng._build_robots_side_table(pages_path)
+        return eng
+
+    def _build_robots_side_table(self, pages_path: str) -> None:
+        """robots side-table: pages where path == /robots.txt, partitioned by
+        state shard so each StateShard lazily loads only its hosts
+        (broadcast-small-side pattern, SURVEY.md §2.4)."""
+        done = os.path.join(self.robots_dir, "_COMPLETE")
+        if os.path.exists(done):
+            return
+        os.makedirs(self.robots_dir, exist_ok=True)
+        num_shards = self.cfg.seen_shards
+        ds = ray.data.read_parquet(pages_path, columns=["url", "html"])
+
+        def to_robots(batch: pa.Table) -> pa.Table:
+            mask = pc.ends_with(batch["url"], pattern="/robots.txt")
+            sub = batch.filter(mask)
+            urls = sub["url"].to_pylist()
+            hosts = [u.split("://", 1)[-1].split("/", 1)[0].lower() for u in urls]
+            return pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "body": sub["html"],
+                    "shard": pa.array(hash_mod_batch(hosts, num_shards), pa.int32()),
+                }
+            )
+
+        robots = ds.map_batches(to_robots, batch_format="pyarrow")
+
+        robots_dir = self.robots_dir
+
+        def write_shard(group: pa.Table) -> pa.Table:
+            shard_id = group["shard"][0].as_py()
+            path = os.path.join(robots_dir, f"shard={shard_id:05d}.parquet")
+            pq.write_table(group.drop_columns(["shard"]), path + ".tmp")
+            os.replace(path + ".tmp", path)
+            return pa.table({"shard": [shard_id], "n": [group.num_rows]})
+
+        counts = robots.groupby("shard").map_groups(
+            write_shard, batch_format="pyarrow"
+        )
+        counts.materialize()
+        with open(done + ".tmp", "w") as f:
+            f.write("ok\n")
+        os.replace(done + ".tmp", done)
+
+    def _start_actors(self) -> list:
+        if self._actors is None:
+            cfg = self.cfg
+            self._actors = [
+                StateShard.remote(
+                    k,
+                    user_agent=cfg.user_agent,
+                    per_domain_budget=cfg.concurrent_requests_per_domain,
+                    download_delay=cfg.download_delay,
+                    round_seconds=cfg.round_seconds,
+                    robotstxt_obey=cfg.robotstxt_obey,
+                    robots_path=os.path.join(
+                        self.robots_dir, f"shard={k:05d}.parquet"
+                    ),
+                )
+                for k in range(cfg.seen_shards)
+            ]
+        return self._actors
+
+    def shutdown_actors(self) -> None:
+        if self._actors:
+            for a in self._actors:
+                ray.kill(a)
+            self._actors = None
+
+    # -- round bookkeeping -----------------------------------------------------
+
+    def _round_dir(self, n: int) -> str:
+        return os.path.join(self.rounds_dir, f"round-{n:06d}")
+
+    def _frontier_dir(self, n: int) -> str:
+        return os.path.join(self._round_dir(n), "frontier")
+
+    def _manifest_path(self, n: int) -> str:
+        return os.path.join(self._round_dir(n), "MANIFEST.json")
+
+    def last_complete_round(self) -> int:
+        """Highest round with a committed manifest, or -1."""
+        last = -1
+        if os.path.isdir(self.rounds_dir):
+            for d in os.listdir(self.rounds_dir):
+                mp = os.path.join(self.rounds_dir, d, "MANIFEST.json")
+                if d.startswith("round-") and os.path.exists(mp):
+                    last = max(last, int(d.split("-")[1]))
+        return last
+
+    def init_frontier(self, seeds_path: str) -> None:
+        """Round-0 frontier from the seed list (idempotent: skipped if round
+        0's frontier already exists)."""
+        fdir = self._frontier_dir(0)
+        if os.path.isdir(fdir) and os.listdir(fdir):
+            return
+        cfg = self.cfg
+        seeds = ray.data.read_parquet(seeds_path)
+        frontier = seeds.map_batches(
+            lambda b: seeds_to_frontier(b, cfg), batch_format="pyarrow"
+        )
+        os.makedirs(fdir, exist_ok=True)
+        frontier.write_parquet(fdir)
+
+    # -- the superstep ---------------------------------------------------------
+
+    def run(self, max_rounds: int | None = None) -> CrawlResult:
+        """Run rounds until the frontier drains or a stop condition fires.
+        Safe to call on a fresh OR previously-killed workdir (resume)."""
+        cfg = self.cfg
+        actors = self._start_actors()
+        start_round = self.last_complete_round() + 1
+        if start_round > 0:
+            # resume: replay committed seen deltas into fresh actors
+            ray.get(
+                [
+                    a.restore.remote(self.seen_dir, start_round - 1)
+                    for a in actors
+                ]
+            )
+        all_stats: list[RoundStats] = []
+        total_fetched = self._committed_fetch_count(start_round)
+        stopped = "frontier_empty"
+        n = start_round
+        hard_max = max_rounds if max_rounds is not None else cfg.max_rounds or 10**9
+        while n < start_round + 10**9:
+            if (n - 0) >= hard_max and hard_max > 0:
+                stopped = "max_rounds"
+                break
+            if cfg.closespider_pagecount and total_fetched >= cfg.closespider_pagecount:
+                stopped = "closespider_pagecount"
+                break
+            fdir = self._frontier_dir(n)
+            if not (os.path.isdir(fdir) and os.listdir(fdir)):
+                stopped = "frontier_empty"
+                break
+            stats = self._run_round(n, actors)
+            all_stats.append(stats)
+            total_fetched += stats.fetched
+            n += 1
+        return CrawlResult(self.workdir, all_stats, stopped)
+
+    def _committed_fetch_count(self, upto_round: int) -> int:
+        total = 0
+        for r in range(upto_round):
+            mp = self._manifest_path(r)
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    total += json.load(f)["stats"].get("fetched", 0)
+        return total
+
+    def _run_round(self, n: int, actors: list) -> RoundStats:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        stats = RoundStats(round=n)
+        frontier = ray.data.read_parquet(self._frontier_dir(n))
+        stats.frontier = frontier.count()
+
+        # 1. gate: shard-routed dedup + seen + robots + budget (ONE shuffle)
+        gated = (
+            frontier.groupby("shard")
+            .map_groups(_shard_gate_fn(actors, n), batch_format="pyarrow")
+            .materialize()
+        )
+        for row in gated.groupby("gate_status").count().take_all():
+            name = GATE_NAMES.get(row["gate_status"], str(row["gate_status"]))
+            if name == "admitted":
+                stats.admitted = row["count()"]
+            elif name == "politeness/deferred":
+                stats.deferred = row["count()"]
+            elif name == "robotstxt/forbidden":
+                stats.robots_forbidden = row["count()"]
+            else:
+                stats.dupefilter_filtered += row["count()"]
+
+        admitted = gated.filter(expr="gate_status == 0")
+        deferred = gated.filter(expr="gate_status == 1")
+
+        # 2. fetch + parse (second shuffle: url-bucket; html stays in-task)
+        fetched_dir = os.path.join(self._round_dir(n), "fetched")
+        store_dir, round_id = self.store_dir, n
+        if stats.admitted:
+            edges = (
+                admitted.drop_columns(["gate_status"])
+                .groupby("bucket")
+                .map_groups(
+                    lambda g: FetchParse(store_dir, round_id, fetched_dir, cfg)(g),
+                    batch_format="pyarrow",
+                )
+            )
+            # 3. candidate filters → next-round frontier rows
+            candidates = edges.map_batches(
+                lambda b: edges_to_candidates(b, cfg), batch_format="pyarrow"
+            ).materialize()
+            stats.edges = candidates.count()
+            for row in candidates.groupby("drop_reason").count().take_all():
+                reason = DROP_REASON_NAMES.get(row["drop_reason"], "other")
+                if row["drop_reason"] != KEEP:
+                    stats.candidate_drops[reason] = row["count()"]
+            kept = candidates.filter(expr="drop_reason == 0").drop_columns(
+                ["drop_reason"]
+            )
+        else:
+            kept = None
+
+        # fetched / miss counts from the artifact the fetch tasks wrote
+        if os.path.isdir(fetched_dir) and os.listdir(fetched_dir):
+            hit, miss = 0, 0
+            for fname in os.listdir(fetched_dir):
+                if fname.endswith(".parquet"):
+                    t = pq.read_table(
+                        os.path.join(fetched_dir, fname), columns=["status"]
+                    )
+                    s = t["status"].to_numpy()
+                    hit += int((s == 200).sum())
+                    miss += int((s != 200).sum())
+            stats.fetched, stats.fetch_miss = hit, miss
+
+        # 4. next frontier = kept candidates ∪ deferred (budget carry-over)
+        def mark_enqueued(b: pa.Table) -> pa.Table:
+            idx = b.column_names.index("already_enqueued")
+            return b.set_column(
+                idx,
+                "already_enqueued",
+                pa.array(np.ones(b.num_rows, bool), pa.bool_()),
+            )
+
+        parts = []
+        if kept is not None and stats.edges:
+            parts.append(kept)
+        if stats.deferred:
+            parts.append(
+                deferred.drop_columns(["gate_status"]).map_batches(
+                    mark_enqueued, batch_format="pyarrow"
+                )
+            )
+        next_frontier = parts[0].union(*parts[1:]) if len(parts) > 1 else (
+            parts[0] if parts else None
+        )
+
+        next_count = 0
+        if next_frontier is not None:
+            next_frontier = next_frontier.materialize()
+            next_count = next_frontier.count()
+            if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
+                # bound the shuffle: global top-k by crawl order; the tail is
+                # dropped (re-discoverable via links) — SURVEY.md §4.2
+                next_frontier = next_frontier.sort(
+                    ["priority", "order_key"], descending=[True, False]
+                ).limit(cfg.max_round_candidates)
+                next_count = cfg.max_round_candidates
+        stats.candidates_kept = next_count
+        if next_count:
+            nf_dir = self._frontier_dir(n + 1)
+            os.makedirs(nf_dir, exist_ok=True)
+            next_frontier.write_parquet(nf_dir)
+
+        # 5. checkpoint seen deltas, then commit the manifest (atomic, LAST)
+        ray.get([a.checkpoint.remote(self.seen_dir, n) for a in actors])
+        stats.wall_s = time.monotonic() - t0
+        manifest = {
+            "round": n,
+            "stats": asdict(stats),
+            "config": asdict(self.cfg),
+            "next_frontier": next_count,
+        }
+        mp = self._manifest_path(n)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(mp + ".tmp", mp)
+        return stats

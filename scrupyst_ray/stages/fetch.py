@@ -1,0 +1,206 @@
+"""Fetch = lookup in a url-hash-bucketed page store, fused with parse.
+
+The reference's HTTP download handler (S1,
+``scrapy/core/downloader/handlers/http11_aiohttp.py:42-339``) becomes a table
+lookup: the corpus *is* the network.  To make that lookup scale to a 100 TB
+page table WITHOUT re-scanning or re-shuffling the corpus every round, the
+pages are partitioned ONCE by ``bucket = stable_hash64(url) % B`` (same
+function the frontier uses).  Per round:
+
+    admitted.groupby("bucket").map_groups(FetchParse)
+
+and each group task reads ONLY its bucket's parquet fragments with an
+``url ∈ frontier`` scan filter — per-round I/O is proportional to the
+frontier, not the corpus.  At 10^10-URL design scale B is sized so one
+bucket ≈ a few GB (e.g. B=65536 for 100 TB) and fragments stay prunable.
+
+The task is fused fetch→parse: html bytes are decoded
+(:mod:`~scrupyst_ray.functions.textextract` — the byte-identical invariant)
+and links extracted (:mod:`~scrupyst_ray.functions.links`) INSIDE the task,
+so html never crosses a task boundary or enters a shuffle (SURVEY.md §7.4
+"drop html immediately after parse").  The task's side output — the fetched
+artifact (url, order, status, text) — is written straight to the round's
+checkpoint directory (tmp+rename per bucket file, so Ray task retries are
+idempotent); the dataset flow carries only edge metadata onward.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from scrupyst_ray.config import CrawlConfig
+from scrupyst_ray.functions.hashing import hash_mod_batch
+from scrupyst_ray.functions.links import LinkExtractorConfig, extract_links
+from scrupyst_ray.functions.textextract import detect_and_decode
+from scrupyst_ray.stages.frontier import EDGE_META_SCHEMA
+
+FETCHED_SCHEMA = pa.schema(
+    [
+        ("round", pa.int32()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int64()),
+        ("order_key", pa.binary()),
+        ("fp", pa.binary()),
+        ("status", pa.int16()),  # 200 = hit, 404 = not in corpus
+        ("warc_ts", pa.timestamp("us")),
+        ("text_len", pa.int64()),
+        ("n_links", pa.int32()),
+    ]
+)
+
+
+def build_page_store(
+    pages_path: str | list[str],
+    store_dir: str,
+    num_buckets: int,
+    *,
+    ray_dataset=None,
+) -> str:
+    """One-time corpus partitioning by url-hash bucket (idempotent).
+
+    Reads only the columns the crawl needs (url, warc_ts, html — column
+    pruning at the read, never the oracle ``text`` column) and writes
+    ``store_dir/bucket=K/*.parquet`` via Ray Data's partitioned writer — a
+    single streaming pass over the corpus.
+    """
+    import ray
+
+    done = os.path.join(store_dir, "_STORE_COMPLETE")
+    if os.path.exists(done):
+        return store_dir
+    ds = ray_dataset
+    if ds is None:
+        ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = hash_mod_batch(batch["url"].to_pylist(), num_buckets)
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    with open(done + ".tmp", "w") as f:
+        f.write(f"num_buckets={num_buckets}\n")
+    os.replace(done + ".tmp", done)
+    return store_dir
+
+
+def _read_bucket_pages(store_dir: str, bucket: int, urls: list[str]) -> pa.Table:
+    """Scan one bucket's fragments with an ``url ∈ urls`` pushdown filter."""
+    bucket_dir = os.path.join(store_dir, f"bucket={bucket}")
+    if not os.path.isdir(bucket_dir):
+        return pa.table(
+            {"url": pa.array([], pa.string()), "warc_ts": pa.array([], pa.timestamp("us")), "html": pa.array([], pa.binary())}
+        )
+    dataset = pads.dataset(bucket_dir, format="parquet")
+    return dataset.to_table(
+        columns=["url", "warc_ts", "html"],
+        filter=pc.field("url").isin(urls),
+    )
+
+
+class FetchParse:
+    """Actor-pool ``map_groups`` callable: fetch one bucket group + parse.
+
+    Stateful setup (link-extractor config compile, store path) happens once
+    per actor in ``__init__``; per-batch work in ``__call__`` (SURVEY.md
+    actor-pool pattern).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        round_id: int,
+        fetched_dir: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.store_dir = store_dir
+        self.round_id = round_id
+        self.fetched_dir = fetched_dir
+        self.cfg = cfg or CrawlConfig()
+        self.extractor = LinkExtractorConfig()
+        os.makedirs(fetched_dir, exist_ok=True)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({k: [] for k in EDGE_META_SCHEMA.names}, schema=EDGE_META_SCHEMA)
+        bucket = group["bucket"][0].as_py()
+        urls = group["url"].to_pylist()
+        pages = _read_bucket_pages(self.store_dir, bucket, urls)
+        joined = group.join(pages, keys="url", join_type="left outer")
+        # deterministic artifact order within the bucket file
+        joined = joined.sort_by([("priority", "descending"), ("order_key", "ascending")])
+
+        j_urls = joined["url"].to_pylist()
+        htmls = joined["html"].to_pylist()
+        hosts = joined["host"].to_pylist()
+        depths = joined["depth"].to_pylist()
+        order_keys = joined["order_key"].to_pylist()
+
+        n = len(j_urls)
+        statuses = np.full(n, 200, dtype=np.int16)
+        text_lens = np.zeros(n, dtype=np.int64)
+        n_links = np.zeros(n, dtype=np.int32)
+
+        e_dst: list[str] = []
+        e_nofollow: list[bool] = []
+        e_link_idx: list[int] = []
+        e_pdepth: list[int] = []
+        e_pkey: list[bytes] = []
+
+        for i in range(n):
+            html = htmls[i]
+            if html is None:
+                statuses[i] = 404  # fetch-miss (URL not in corpus), SURVEY.md S1
+                continue
+            encoding, text = detect_and_decode(html)
+            text_lens[i] = len(text)
+            links = extract_links(text, j_urls[i], encoding, self.extractor)
+            n_links[i] = len(links)
+            for li, link in enumerate(links):
+                e_dst.append(link.url)
+                e_nofollow.append(link.nofollow)
+                e_link_idx.append(li)
+                e_pdepth.append(depths[i])
+                e_pkey.append(order_keys[i])
+
+        fetched = pa.table(
+            {
+                "round": pa.array(np.full(n, self.round_id, np.int32), pa.int32()),
+                "url": joined["url"],
+                "host": pa.array(hosts, pa.string()),
+                "depth": pa.array(depths, pa.int32()),
+                "priority": joined["priority"],
+                "order_key": pa.array(order_keys, pa.binary()),
+                "fp": joined["fp"],
+                "status": pa.array(statuses, pa.int16()),
+                "warc_ts": joined["warc_ts"],
+                "text_len": pa.array(text_lens, pa.int64()),
+                "n_links": pa.array(n_links, pa.int32()),
+            },
+            schema=FETCHED_SCHEMA,
+        )
+        out_path = os.path.join(self.fetched_dir, f"bucket={bucket:06d}.parquet")
+        pq.write_table(fetched, out_path + ".tmp")
+        os.replace(out_path + ".tmp", out_path)  # idempotent on task retry
+
+        return pa.table(
+            {
+                "dst": pa.array(e_dst, pa.string()),
+                "nofollow": pa.array(e_nofollow, pa.bool_()),
+                "link_idx": pa.array(e_link_idx, pa.int32()),
+                "parent_depth": pa.array(e_pdepth, pa.int32()),
+                "parent_order_key": pa.array(e_pkey, pa.binary()),
+            },
+            schema=EDGE_META_SCHEMA,
+        )

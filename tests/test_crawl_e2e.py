@@ -1,0 +1,128 @@
+"""End-to-end crawl vs the single-threaded oracle simulator, plus
+kill-and-resume identity (FIXTURES.md §5, §7; reference oracle shape:
+``tests/test_scheduler.py:181-218`` and ``tests/test_crawl.py``)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from scrupyst_ray.config import CrawlConfig
+from scrupyst_ray.pipelines.crawl import CrawlEngine
+
+from tests.crawl_sim import load_pages_dict, simulate_crawl
+
+
+def _cfg() -> CrawlConfig:
+    return CrawlConfig(
+        seen_shards=4,
+        fetch_buckets=4,
+        concurrent_requests_per_domain=4,
+        closespider_pagecount=0,
+    )
+
+
+def _seed_urls(corpus: str) -> list[str]:
+    t = pq.read_table(os.path.join(corpus, "seeds.parquet"))
+    return t.sort_by("seq")["url"].to_pylist()
+
+
+def _engine_order(result) -> list[tuple[int, str]]:
+    t = result.crawl_order_table()
+    return list(zip(t["round"].to_pylist(), t["url"].to_pylist()))
+
+
+def _engine_seen_fps(workdir: str) -> set[bytes]:
+    seen_dir = os.path.join(workdir, "seen")
+    fps: set[bytes] = set()
+    for shard in os.listdir(seen_dir):
+        sdir = os.path.join(seen_dir, shard)
+        for f in os.listdir(sdir):
+            if f.endswith(".parquet"):
+                fps.update(pq.read_table(os.path.join(sdir, f))["fp"].to_pylist())
+    return fps
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlE2E:
+    def test_matches_oracle(self, smoke_corpus, tmp_path):
+        cfg = _cfg()
+        seeds = _seed_urls(smoke_corpus)
+        sim = simulate_crawl(load_pages_dict(smoke_corpus), seeds, cfg, max_rounds=6)
+
+        eng = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "wd"), cfg
+        )
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res = eng.run(max_rounds=6)
+        eng.shutdown_actors()
+
+        assert res.total_fetched > 0
+        # crawl order parity: (round, url) sequence identical
+        assert _engine_order(res) == sim.fetch_order
+        # URL-seen set parity: bit-for-bit fingerprint set
+        assert _engine_seen_fps(str(tmp_path / "wd")) == sim.seen_fps
+        # politeness parity per round
+        assert [r.admitted for r in res.rounds] == sim.per_round_admitted
+        assert [r.deferred for r in res.rounds] == sim.per_round_deferred
+        assert sum(r.robots_forbidden for r in res.rounds) == sim.robots_forbidden
+
+    def test_kill_and_resume_identical(self, smoke_corpus, tmp_path):
+        cfg = _cfg()
+        # uninterrupted reference run
+        eng_a = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "full"), cfg
+        )
+        eng_a.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res_a = eng_a.run(max_rounds=5)
+        eng_a.shutdown_actors()
+
+        # killed-at-round-2 run, resumed by a FRESH engine (fresh actors)
+        wd = str(tmp_path / "resumed")
+        eng_b = CrawlEngine.for_corpus(os.path.join(smoke_corpus, "pages"), wd, cfg)
+        eng_b.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        eng_b.run(max_rounds=2)
+        eng_b.shutdown_actors()  # "kill"
+
+        eng_c = CrawlEngine(eng_b.store_dir, wd, cfg)
+        assert eng_c.last_complete_round() == 1
+        res_c = eng_c.run(max_rounds=5)
+        eng_c.shutdown_actors()
+
+        assert _engine_order(res_c) != []  # resumed rounds happened
+        full_order = _engine_order(res_a)
+        # artifact over ALL rounds of the resumed workdir equals the
+        # uninterrupted artifact
+        from scrupyst_ray.pipelines.crawl import CrawlResult
+
+        all_rounds = CrawlResult(wd, [], "")
+        assert (
+            list(
+                zip(
+                    all_rounds.crawl_order_table()["round"].to_pylist(),
+                    all_rounds.crawl_order_table()["url"].to_pylist(),
+                )
+            )
+            == full_order
+        )
+        assert _engine_seen_fps(wd) == _engine_seen_fps(str(tmp_path / "full"))
+
+    def test_robots_and_budget_visible(self, smoke_corpus, tmp_path):
+        """Sanity: the robots matrix actually bites (host h%5==1 disallows our
+        UA entirely) and per-host budgets defer work."""
+        cfg = _cfg()
+        eng = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "wd2"), cfg
+        )
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res = eng.run(max_rounds=3)
+        eng.shutdown_actors()
+        assert sum(r.robots_forbidden for r in res.rounds) > 0
+        assert sum(r.deferred for r in res.rounds) > 0
+        assert sum(r.dupefilter_filtered for r in res.rounds) > 0
+        # no fetched URL may be from host001 (Disallow: / for our UA)
+        t = res.fetched_dataset().to_pandas()
+        fetched_hosts = set(t[t.status == 200].host)
+        assert "host001.test" not in fetched_hosts
