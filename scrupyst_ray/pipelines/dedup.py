@@ -1,0 +1,281 @@
+"""Deduplication pipelines over the ``documents`` table.
+
+- exact: content-hash groupby, keep min doc_id per distinct text — the
+  hash-partition + per-group-first pattern (shuffles 16-byte digests, never
+  the texts).
+- MinHash+LSH: signature map_batches → band-key explode → band groupby →
+  candidate pairs → signature-Jaccard verify.  The only shuffled payload is
+  (band_key 10 B, doc_id 8 B) — signatures are re-looked-up for the (tiny)
+  candidate set.
+- SimHash: 64-bit signature, banded by 16-bit chunks (pigeonhole: hamming ≤ 3
+  ⇒ ≥1 identical chunk), verified by hamming distance.
+- embedding cosine near-dup: normalized matmul per batch against a broadcast
+  matrix (small corpus) — the IVF/LSH-bucketed path for big corpora lives in
+  ``pipelines/ann.py``.
+
+All outputs are deterministic (fixed seeds, tie-breaks by id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from scrupyst_ray.functions.dedup import (
+    MinHasher,
+    band_keys,
+    hamming64,
+    shingle_hashes,
+    simhash64,
+    simhash_band_keys,
+)
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# -- exact ---------------------------------------------------------------------
+
+
+def exact_dedup_keep(sf_dir: str):
+    """(doc_id) kept per distinct text: groupby(content hash) → min(doc_id).
+    Matches ``GROUP BY text`` SQL because the hash is collision-free at any
+    realistic scale (md5 over full text)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).digest() for t in b["text"].to_pylist()]
+        return pa.table({"h": pa.array(h, pa.binary()), "doc_id": b["doc_id"]})
+
+    from ray.data.aggregate import Min
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id"))
+    )
+    return (
+        out.map_batches(
+            lambda b: pa.table({"doc_id": b["min(doc_id)"]}), batch_format="pyarrow"
+        ).sort("doc_id")
+    )
+
+
+# -- MinHash + LSH ---------------------------------------------------------------
+
+
+def minhash_signatures(sf_dir: str, num_perm: int = 128, k: int = 3):
+    """(doc_id, sig: binary) MinHash signatures — an actor-pool stage: the
+    hasher's permutation constants are built once per actor in __init__."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    class Signer:
+        def __init__(self):
+            self.hasher = MinHasher(num_perm=num_perm)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sigs = [
+                self.hasher.signature(shingle_hashes(t, k)).tobytes()
+                for t in b["text"].to_pylist()
+            ]
+            return pa.table(
+                {"doc_id": b["doc_id"], "sig": pa.array(sigs, pa.binary())}
+            )
+
+    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+
+
+def minhash_pairs(
+    sf_dir: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    threshold: float = 0.5,
+):
+    """Near-duplicate pairs (a < b, est_jaccard ≥ threshold) via banding LSH.
+
+    Scale shape: the band explode/groupby shuffles only (band_key, doc_id);
+    verification broadcasts the signature table (fine up to ~10^7 docs /
+    ~10 GB of signatures; beyond that swap the broadcast for a hash join of
+    pairs⨝signatures — same semantics)."""
+    sigs = minhash_signatures(sf_dir, num_perm, k).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys: list[bytes] = []
+        ids: list[int] = []
+        for doc_id, sig in zip(b["doc_id"].to_pylist(), b["sig"].to_pylist()):
+            arr = np.frombuffer(sig, dtype=np.uint64)
+            for key in band_keys(arr, bands):
+                keys.append(key)
+                ids.append(doc_id)
+        return pa.table(
+            {"band": pa.array(keys, pa.binary()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        a, b = [], []
+        if 1 < len(ids) <= 1000:  # cap pathological buckets (logged upstream)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    cand = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()  # dedup pairs found in multiple bands
+    )
+
+    sig_table = pa.concat_tables(ray.get(sigs.to_arrow_refs()))
+    sig_map = dict(zip(sig_table["doc_id"].to_pylist(), sig_table["sig"].to_pylist()))
+    sig_ref = ray.put(sig_map)
+
+    def verify(b: pa.Table) -> pa.Table:
+        m = ray.get(sig_ref)
+        a_ids = b["a"].to_pylist()
+        b_ids = b["b"].to_pylist()
+        keep_a, keep_b, est = [], [], []
+        for ai, bi in zip(a_ids, b_ids):
+            sa = np.frombuffer(m[ai], dtype=np.uint64)
+            sb = np.frombuffer(m[bi], dtype=np.uint64)
+            j = float((sa == sb).mean())
+            if j >= threshold:
+                keep_a.append(ai)
+                keep_b.append(bi)
+                est.append(round(j, 4))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, pa.int64()),
+                "b": pa.array(keep_b, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+
+
+def minhash_dedup_keep(sf_dir: str, **kw):
+    """doc_ids kept after near-dup removal: drop any doc that near-matches a
+    smaller id (greedy, deterministic)."""
+    pairs = minhash_pairs(sf_dir, **kw)
+    drop = {row["b"] for row in pairs.take_all()}
+    ds = _docs(sf_dir, ["doc_id"])
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([i not in d for i in b["doc_id"].to_pylist()], pa.bool_())
+        return b.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+# -- SimHash ---------------------------------------------------------------------
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by 64-bit SimHash, banded into 4×16-bit chunks."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        sigs = [simhash64(t) for t in b["text"].to_pylist()]
+        keys: list[bytes] = []
+        kids: list[int] = []
+        ksig: list[int] = []
+        for i, s in zip(ids, sigs):
+            for key in simhash_band_keys(s, bands=4):
+                keys.append(key)
+                kids.append(i)
+                ksig.append(s)
+        return pa.table(
+            {
+                "band": pa.array(keys, pa.binary()),
+                "doc_id": pa.array(kids, pa.int64()),
+                "sig": pa.array(np.array(ksig, np.uint64), pa.uint64()),
+            }
+        )
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        rows = sorted(zip(g["doc_id"].to_pylist(), g["sig"].to_pylist()))
+        a, b, d = [], [], []
+        if 1 < len(rows) <= 1000:
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    dist = int(hamming64(rows[i][1], rows[j][1]))
+                    if dist <= max_hamming and rows[i][0] != rows[j][0]:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        d.append(dist)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(sign, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming"))
+        .map_batches(
+            lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
+        )
+        .sort(["a", "b"])
+    )
+
+
+# -- n-gram Jaccard (exact verification over LSH candidates) ----------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
+    """LSH candidates re-verified with EXACT k-shingle Jaccard (text join via
+    broadcast — candidate set is tiny by construction)."""
+    cand = minhash_pairs(sf_dir, threshold=0.0)  # all banded candidates
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    doc_table = pa.concat_tables(ray.get(docs.to_arrow_refs()))
+    text_map = dict(
+        zip(doc_table["doc_id"].to_pylist(), doc_table["text"].to_pylist())
+    )
+    text_ref = ray.put(text_map)
+
+    def verify(b: pa.Table) -> pa.Table:
+        m = ray.get(text_ref)
+        a_out, b_out, j_out = [], [], []
+        for ai, bi in zip(b["a"].to_pylist(), b["b"].to_pylist()):
+            sa = set(map(int, shingle_hashes(m[ai], k)))
+            sb = set(map(int, shingle_hashes(m[bi], k)))
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            if j >= threshold:
+                a_out.append(ai)
+                b_out.append(bi)
+                j_out.append(round(j, 4))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
