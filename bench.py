@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric: frontier-expansion throughput (URLs fetched+parsed per
+second) of the crawl engine over a synthetic Common-Crawl-style page corpus
+sized to the sf dir (BASELINE.json metric), plus wall-times for
+representative query pipelines over $GRAFT_SF_DIR.
+
+    python bench.py               # one measured run
+    python bench.py --scaling     # same job at num_cpus=8 and 32 in fresh
+                                  # processes → throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus size per sf tier (FIXTURES.md §1 sizing)
+_CORPUS_BY_SF = {
+    "sf0.001": (5, 40),
+    "sf0.01": (50, 200),
+    "sf0.1": (150, 400),
+    "sf1": (500, 2000),
+}
+
+
+def corpus_params(sf_dir: str) -> tuple[int, int]:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return _CORPUS_BY_SF.get(name, (50, 200))
+
+
+def run_crawl_bench(sf_dir: str, workdir_tag: str = "") -> dict:
+    """The headline job: build/reuse the corpus + page store, run a fresh
+    BFO crawl with broad-crawl politeness (budget 32/host/round), report
+    URLs/s over fetch+parse rounds (store/corpus build excluded — one-time)."""
+    import shutil
+
+    from scrupyst_ray.config import CrawlConfig
+    from scrupyst_ray.pipelines.crawl import CrawlEngine
+    from scrupyst_ray.sources.corpus import corpus_cache_dir, write_corpus
+
+    H, P = corpus_params(sf_dir)
+    corpus = corpus_cache_dir("/tmp", H, P)
+    t0 = time.monotonic()
+    write_corpus(corpus, H=H, P=P, hosts_per_file=max(1, H // 32))
+    gen_s = time.monotonic() - t0
+
+    cfg = CrawlConfig(
+        seen_shards=16,
+        fetch_buckets=32,
+        concurrent_requests_per_domain=32,  # broad-crawl tuning (reference
+        # guidance: CONCURRENT_REQUESTS=100, docs/topics/broad-crawls.rst)
+    )
+    store_dir = os.path.join("/tmp", f"scrupyst_store_H{H}_P{P}_b{cfg.fetch_buckets}")
+    wd = os.path.join("/tmp", f"scrupyst_bench_wd{workdir_tag}")
+    shutil.rmtree(wd, ignore_errors=True)
+
+    t0 = time.monotonic()
+    eng = CrawlEngine.for_corpus(
+        os.path.join(corpus, "pages"), wd, cfg, store_dir=store_dir
+    )
+    setup_s = time.monotonic() - t0
+
+    eng.init_frontier(os.path.join(corpus, "seeds.parquet"))
+    t0 = time.monotonic()
+    res = eng.run(max_rounds=10)
+    crawl_s = time.monotonic() - t0
+    eng.shutdown_actors()
+    fetched = res.total_fetched
+    frontier_rows = sum(r.frontier for r in res.rounds)
+    return {
+        "fetched": fetched,
+        "frontier_rows_processed": frontier_rows,
+        "rounds": len(res.rounds),
+        "crawl_s": round(crawl_s, 2),
+        "urls_per_sec": round(fetched / crawl_s, 1),
+        "frontier_rows_per_sec": round(frontier_rows / crawl_s, 1),
+        "corpus_gen_s": round(gen_s, 2),
+        "store_setup_s": round(setup_s, 2),
+        "corpus": {"hosts": H, "pages_per_host": P},
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    pick = [
+        "q1_pricing_summary",
+        "orders_by_segment",
+        "events_minutely",
+        "token_stats_by_lang",
+        "dedup_exact",
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_cosine_topk",
+        "media_features",
+    ]
+    out = {}
+    for name in pick:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        # consume lazily-built datasets fully
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.monotonic() - t0, 2)
+    return out
+
+
+def single_run() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    crawl = run_crawl_bench(SF_DIR)
+    queries = run_query_bench(SF_DIR)
+    ray.shutdown()
+    return {
+        "metric": "frontier_expansion_urls_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "crawl": crawl,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def scaling_run() -> dict:
+    """Run the headline crawl at two parallelism levels in FRESH processes
+    (the sandbox stand-in for N vs 4N cluster nodes; BASELINE.md criterion:
+    efficiency = thr(4N) / (4 · thr(N)) ≥ 0.8)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["value"]
+    thr32 = results[32]["value"]
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(thr32 / (4 * thr8), 3),
+        "unit": "fraction",
+        "throughput_8cpu": thr8,
+        "throughput_32cpu": thr32,
+        "detail": {str(k): v["crawl"] for k, v in results.items()},
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+    }
+
+
+def crawl_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    crawl = run_crawl_bench(SF_DIR, workdir_tag=f"_c{NUM_CPUS}")
+    ray.shutdown()
+    return {
+        "metric": "frontier_expansion_urls_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "crawl": crawl,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling_run()))
+    elif "--crawl-only" in sys.argv:
+        print(json.dumps(crawl_only()))
+    else:
+        print(json.dumps(single_run()))

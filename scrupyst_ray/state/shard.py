@@ -150,9 +150,13 @@ class _StateShard:
         }
 
 
-# Ray actor: fractional CPU — these are index servers, not compute stages
-# (the per-round work is dict lookups over frontier-sized metadata).
-StateShard = ray.remote(num_cpus=0.25)(_StateShard)
+# Ray actor: near-zero CPU reservation — these are index servers, not compute
+# stages (per-round work is dict lookups over frontier-sized metadata).  A
+# real reservation would eat the task-pool CPU budget: num_shards ≥ cores is
+# the normal config, so shards × anything ≥ 0.1 CPU would starve the Ray Data
+# tasks that feed them (observed as a full stall at num_cpus=4 with 16
+# shards at 0.25).
+StateShard = ray.remote(num_cpus=0.01)(_StateShard)
 
 __all__ = [
     "ADMITTED",

@@ -1,0 +1,100 @@
+"""Unit tests for the dedup kernels: MinHash accuracy, LSH banding recall,
+SimHash hamming behavior, exact Jaccard."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrupyst_ray.functions.dedup import (
+    MinHasher,
+    band_keys,
+    hamming64,
+    jaccard_tokens,
+    shingle_hashes,
+    simhash64,
+    simhash_band_keys,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_B = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+DOC_C = "completely unrelated content about database engines and arrow batches"
+
+
+class TestShingles:
+    def test_dedup_and_determinism(self):
+        h1 = shingle_hashes(DOC_A, 3)
+        h2 = shingle_hashes(DOC_A, 3)
+        assert sorted(h1) == sorted(h2)
+        assert len(set(map(int, h1))) == len(h1)
+
+    def test_short_text(self):
+        assert len(shingle_hashes("one two", 3)) == 1
+        assert len(shingle_hashes("", 3)) == 1
+
+
+class TestMinHash:
+    def test_estimate_close_to_true_jaccard(self):
+        mh = MinHasher(num_perm=256)
+        sa = mh.signature(shingle_hashes(DOC_A, 3))
+        sb = mh.signature(shingle_hashes(DOC_B, 3))
+        est = MinHasher.estimate_jaccard(sa, sb)
+        true = jaccard_tokens(DOC_A, DOC_B, 3)
+        assert abs(est - true) < 0.15
+        # unrelated docs ≈ 0
+        sc = mh.signature(shingle_hashes(DOC_C, 3))
+        assert MinHasher.estimate_jaccard(sa, sc) < 0.1
+
+    def test_identical_docs(self):
+        mh = MinHasher()
+        sa = mh.signature(shingle_hashes(DOC_A, 3))
+        sb = mh.signature(shingle_hashes(DOC_A, 3))
+        assert MinHasher.estimate_jaccard(sa, sb) == 1.0
+
+    def test_deterministic_across_instances(self):
+        s1 = MinHasher().signature(shingle_hashes(DOC_A))
+        s2 = MinHasher().signature(shingle_hashes(DOC_A))
+        assert (s1 == s2).all()
+
+
+class TestLSH:
+    def test_similar_docs_share_a_band(self):
+        mh = MinHasher(num_perm=128)
+        ka = band_keys(mh.signature(shingle_hashes(DOC_A)), bands=32)
+        kb = band_keys(mh.signature(shingle_hashes(DOC_B)), bands=32)
+        kc = band_keys(mh.signature(shingle_hashes(DOC_C)), bands=32)
+        assert set(ka) & set(kb)  # near-dups collide in ≥1 band (j≈0.85)
+        assert not (set(ka) & set(kc))
+
+    def test_band_key_count(self):
+        mh = MinHasher(num_perm=128)
+        assert len(band_keys(mh.signature(shingle_hashes(DOC_A)), 32)) == 32
+
+
+class TestSimHash:
+    def test_similar_docs_small_hamming(self):
+        d = int(hamming64(simhash64(DOC_A), simhash64(DOC_B)))
+        assert d <= 12
+        d_far = int(hamming64(simhash64(DOC_A), simhash64(DOC_C)))
+        assert d_far > d
+
+    def test_identical_zero(self):
+        assert int(hamming64(simhash64(DOC_A), simhash64(DOC_A))) == 0
+
+    def test_band_keys_pigeonhole(self):
+        s = simhash64(DOC_A)
+        keys = simhash_band_keys(s, bands=4)
+        assert len(keys) == 4
+        # flipping 3 bits leaves ≥1 of 4 16-bit chunks identical
+        s2 = s ^ 0b111
+        assert set(keys) & set(simhash_band_keys(s2, bands=4))
+
+    def test_empty(self):
+        assert simhash64("") == 0
+
+
+class TestJaccard:
+    def test_exact(self):
+        assert jaccard_tokens(DOC_A, DOC_A) == 1.0
+        assert jaccard_tokens(DOC_A, DOC_C) < 0.05
+        j = jaccard_tokens(DOC_A, DOC_B)
+        assert 0.6 < j < 1.0

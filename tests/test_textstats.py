@@ -1,0 +1,92 @@
+"""Unit tests for text-analysis kernels (token counts, quality, lang-ID,
+rolling-hash fingerprints)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from scrupyst_ray.functions.textstats import (
+    bpe_token_count,
+    detect_language,
+    doc_fingerprint,
+    quality_features,
+    quality_score,
+    rolling_fingerprints,
+    whitespace_token_counts,
+)
+
+
+class TestTokens:
+    def test_whitespace_counts_vectorized(self):
+        arr = pa.array(["one two three", "", "  a  b ", "x"])
+        assert whitespace_token_counts(arr).to_pylist() == [3, 0, 2, 1]
+
+    def test_bpe_counts(self):
+        assert bpe_token_count("hello world") == 2
+        assert bpe_token_count("don't stop") == 3  # don + 't + stop
+        assert bpe_token_count("a1b2") == 4
+        assert bpe_token_count("") == 0
+        assert bpe_token_count("...") == 1
+
+
+class TestQuality:
+    def test_features(self):
+        n, mean_len, alpha, punct, stop = quality_features("the cat sat on the mat")
+        assert n == 6
+        assert stop >= 2 / 6  # "the" twice, "on" once
+        assert alpha > 0.6
+
+    def test_score_ranges(self):
+        good = "the quick brown fox jumps over the lazy dog " * 5
+        assert quality_score(good) > quality_score("!!! ### $$$")
+        assert quality_score("") == 0.0
+        assert 0.0 <= quality_score(good) <= 1.0
+
+    def test_deterministic(self):
+        t = "some stable text for scoring purposes and more"
+        assert quality_score(t) == quality_score(t)
+
+
+class TestLangId:
+    def test_english(self):
+        assert detect_language("the cat is on the mat and it is happy") == "en"
+
+    def test_german(self):
+        assert detect_language("der hund ist nicht in dem haus und die katze") == "de"
+
+    def test_french(self):
+        assert detect_language("le chat est dans la maison et il ne dort pas") == "fr"
+
+    def test_spanish(self):
+        assert detect_language("el perro es un animal y no es el gato") == "es"
+
+    def test_chinese(self):
+        assert detect_language("你好世界这是一个测试文档") == "zh"
+
+    def test_unknown(self):
+        assert detect_language("zzz qqq xxx www") == "und"
+        assert detect_language("") == "und"
+
+
+class TestFingerprint:
+    def test_rolling_window_count(self):
+        text = " ".join(f"w{i}" for i in range(10))
+        assert len(rolling_fingerprints(text, window=5)) == 6
+
+    def test_shift_invariance_of_windows(self):
+        # shared 5-token spans produce shared window hashes
+        a = rolling_fingerprints("a b c d e f g", 5)
+        b = rolling_fingerprints("x a b c d e f g", 5)
+        assert set(map(int, a)) <= set(map(int, b)) | {int(h) for h in a}
+        assert len(set(map(int, a)) & set(map(int, b))) >= 2
+
+    def test_doc_fingerprint_stable_and_sensitive(self):
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        assert doc_fingerprint(t) == doc_fingerprint(t)
+        # identical docs collide, disjoint docs don't (w.h.p.)
+        assert doc_fingerprint(t) != doc_fingerprint("completely different words here entirely")
+
+    def test_short_text(self):
+        assert doc_fingerprint("one two") == doc_fingerprint("one two")
+        assert isinstance(doc_fingerprint(""), int)
