@@ -38,29 +38,40 @@ def corpus_params(sf_dir: str) -> tuple[int, int]:
     return _CORPUS_BY_SF.get(name, (50, 200))
 
 
-def run_crawl_bench(sf_dir: str, workdir_tag: str = "") -> dict:
+def run_crawl_bench(
+    sf_dir: str,
+    workdir_tag: str = "",
+    H: int | None = None,
+    P: int | None = None,
+    show: int = 3,
+    budget: int = 128,
+    rounds: int = 12,
+) -> dict:
     """The headline job: build/reuse the corpus + page store, run a fresh
-    BFO crawl with broad-crawl politeness (budget 32/host/round), report
-    URLs/s over fetch+parse rounds (store/corpus build excluded — one-time)."""
+    BFO crawl with broad-crawl politeness (reference guidance:
+    CONCURRENT_REQUESTS=100, docs/topics/broad-crawls.rst), report URLs/s
+    over fetch+parse rounds (store/corpus build excluded — one-time)."""
     import shutil
 
     from scrupyst_ray.config import CrawlConfig
     from scrupyst_ray.pipelines.crawl import CrawlEngine
     from scrupyst_ray.sources.corpus import corpus_cache_dir, write_corpus
 
-    H, P = corpus_params(sf_dir)
-    corpus = corpus_cache_dir("/tmp", H, P)
+    if H is None or P is None:
+        H, P = corpus_params(sf_dir)
+    corpus = corpus_cache_dir("/tmp", H, P, show=show)
     t0 = time.monotonic()
-    write_corpus(corpus, H=H, P=P, hosts_per_file=max(1, H // 32))
+    write_corpus(corpus, H=H, P=P, show=show, hosts_per_file=max(1, H // 32))
     gen_s = time.monotonic() - t0
 
     cfg = CrawlConfig(
-        seen_shards=16,
-        fetch_buckets=32,
-        concurrent_requests_per_domain=32,  # broad-crawl tuning (reference
-        # guidance: CONCURRENT_REQUESTS=100, docs/topics/broad-crawls.rst)
+        seen_shards=32,
+        fetch_buckets=64,
+        concurrent_requests_per_domain=budget,
     )
-    store_dir = os.path.join("/tmp", f"scrupyst_store_H{H}_P{P}_b{cfg.fetch_buckets}")
+    store_dir = os.path.join(
+        "/tmp", f"scrupyst_store_H{H}_P{P}_s{show}_b{cfg.fetch_buckets}"
+    )
     wd = os.path.join("/tmp", f"scrupyst_bench_wd{workdir_tag}")
     shutil.rmtree(wd, ignore_errors=True)
 
@@ -72,7 +83,7 @@ def run_crawl_bench(sf_dir: str, workdir_tag: str = "") -> dict:
 
     eng.init_frontier(os.path.join(corpus, "seeds.parquet"))
     t0 = time.monotonic()
-    res = eng.run(max_rounds=10)
+    res = eng.run(max_rounds=rounds)
     crawl_s = time.monotonic() - t0
     eng.shutdown_actors()
     fetched = res.total_fetched
@@ -86,7 +97,8 @@ def run_crawl_bench(sf_dir: str, workdir_tag: str = "") -> dict:
         "frontier_rows_per_sec": round(frontier_rows / crawl_s, 1),
         "corpus_gen_s": round(gen_s, 2),
         "store_setup_s": round(setup_s, 2),
-        "corpus": {"hosts": H, "pages_per_host": P},
+        "corpus": {"hosts": H, "pages_per_host": P, "show": show},
+        "budget": budget,
     }
 
 
@@ -141,13 +153,25 @@ def single_run() -> dict:
     }
 
 
+# scaling corpus: benchserver-shaped (show=20 links/page, like the
+# reference's `scrapy bench` server) so parse+dedup compute dominates the
+# per-round fixed overhead and the 8→32 CPU comparison measures scaling of
+# WORK, not of scheduler latency.
+_SCALING = {"H": 200, "P": 1000, "show": 20, "budget": 256, "rounds": 6}
+
+
 def scaling_run() -> dict:
     """Run the headline crawl at two parallelism levels in FRESH processes
     (the sandbox stand-in for N vs 4N cluster nodes; BASELINE.md criterion:
     efficiency = thr(4N) / (4 · thr(N)) ≥ 0.8)."""
     results = {}
     for cpus in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_SF_DIR=SF_DIR,
+            SCRUPYST_SCALING="1",
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only"],
             env=env,
@@ -179,7 +203,8 @@ def crawl_only() -> dict:
         include_dashboard=False,
         logging_level="ERROR",
     )
-    crawl = run_crawl_bench(SF_DIR, workdir_tag=f"_c{NUM_CPUS}")
+    kwargs = dict(_SCALING) if os.environ.get("SCRUPYST_SCALING") else {}
+    crawl = run_crawl_bench(SF_DIR, workdir_tag=f"_c{NUM_CPUS}", **kwargs)
     ray.shutdown()
     return {
         "metric": "frontier_expansion_urls_per_sec",

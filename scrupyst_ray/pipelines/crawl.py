@@ -25,12 +25,12 @@ Checkpoint layout (resume = reference JOBDIR contract,
       rounds/round-N/frontier/        frontier at the START of round N
       rounds/round-N/fetched/         crawl artifact (bucket=K.parquet)
       rounds/round-N/MANIFEST.json    commit record — written LAST (atomic
-                                      rename).  NOTE: "round-N", not
-                                      "round=N" — an "=" in a parent dir
-                                      would trigger hive-partition inference
-                                      on read-back and inject a stray column.
                                       rename); a round without a manifest is
-                                      re-run from its frontier on resume
+                                      re-run from its frontier on resume.
+                                      NOTE: "round-N", not "round=N" — an "="
+                                      in a parent dir would trigger
+                                      hive-partition inference on read-back
+                                      and inject a stray column.
 
 Every file write is tmp+rename and every actor method is idempotent per
 round, so a kill at ANY point resumes bit-identically (FIXTURES.md §5).
@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -52,12 +53,7 @@ import ray
 from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.hashing import hash_mod_batch
 from scrupyst_ray.stages.fetch import FetchParse, build_page_store
-from scrupyst_ray.stages.frontier import (
-    DROP_REASON_NAMES,
-    KEEP,
-    edges_to_candidates,
-    seeds_to_frontier,
-)
+from scrupyst_ray.stages.frontier import seeds_to_frontier
 from scrupyst_ray.state.shard import (
     ADMITTED,
     DEFERRED,
@@ -66,18 +62,13 @@ from scrupyst_ray.state.shard import (
     StateShard,
 )
 
-GATE_NAMES = {
-    ADMITTED: "admitted",
-    DEFERRED: "politeness/deferred",
-    ROBOTS_FORBIDDEN: "robotstxt/forbidden",
-    SEEN_DUP: "dupefilter/filtered",
-}
 
 
-def _shard_gate_fn(actors: list, round_id: int):
+def _shard_gate_fn(actors: list, round_id: int, stats_dir: str | None = None):
     """Build the per-shard-group gate function: within-round dedup (min
     order_key wins — deterministic), then ONE StateShard RPC carrying only
-    the small columns."""
+    the small columns.  Per-shard counters go to an idempotent sidecar JSON
+    (stable shard id) so round stats cost no extra dataset execution."""
 
     def gate(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -140,9 +131,32 @@ def _shard_gate_fn(actors: list, round_id: int):
         )
         status = np.full(n, SEEN_DUP, dtype=np.int8)  # local dups = filtered
         status[live] = decisions
+        if stats_dir is not None:
+            os.makedirs(stats_dir, exist_ok=True)
+            counts = {
+                "shard": int(shard_id),
+                "total": int(n),
+                "admitted": int((status == ADMITTED).sum()),
+                "deferred": int((status == DEFERRED).sum()),
+                "robots_forbidden": int((status == ROBOTS_FORBIDDEN).sum()),
+                "dupefilter_filtered": int((status == SEEN_DUP).sum()),
+            }
+            path = os.path.join(stats_dir, f"shard={shard_id:05d}.json")
+            with open(path + ".tmp", "w") as f:
+                json.dump(counts, f)
+            os.replace(path + ".tmp", path)
         return group.append_column("gate_status", pa.array(status, pa.int8()))
 
     return gate
+
+
+def _parquet_rows(dir_path: str) -> int:
+    """Row count from parquet footers only (no data read)."""
+    total = 0
+    for f in os.listdir(dir_path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(dir_path, f)).metadata.num_rows
+    return total
 
 
 @dataclass
@@ -270,7 +284,7 @@ class CrawlEngine:
             os.replace(path + ".tmp", path)
             return pa.table({"shard": [shard_id], "n": [group.num_rows]})
 
-        counts = robots.groupby("shard").map_groups(
+        counts = robots.groupby("shard", num_partitions=num_shards).map_groups(
             write_shard, batch_format="pyarrow"
         )
         counts.materialize()
@@ -386,73 +400,47 @@ class CrawlEngine:
         return total
 
     def _run_round(self, n: int, actors: list) -> RoundStats:
+        """One superstep in exactly TWO Ray Data executions:
+
+        1. gate   — groupby(shard) → StateShard RPCs → materialize,
+        2. expand — groupby(bucket) → fused fetch+parse+candidate-filter →
+                    ∪ deferred → write next frontier (streaming, html stays
+                    inside the fetch tasks).
+
+        All counters come from idempotent per-shard / per-bucket sidecar
+        files and parquet footers — zero bookkeeping executions.
+        """
         t0 = time.monotonic()
         cfg = self.cfg
         stats = RoundStats(round=n)
+        rdir = self._round_dir(n)
+        gate_stats_dir = os.path.join(rdir, "gate_stats")
+        fetched_dir = os.path.join(rdir, "fetched")
         frontier = ray.data.read_parquet(self._frontier_dir(n))
-        stats.frontier = frontier.count()
 
-        # 1. gate: shard-routed dedup + seen + robots + budget (ONE shuffle)
+        # 1. gate: shard-routed dedup + seen + robots + budget (ONE shuffle).
+        # num_partitions pinned to the shard count — the default would cut
+        # the tiny frontier metadata into hundreds of near-empty partitions
+        # (pure scheduling overhead per round).
         gated = (
-            frontier.groupby("shard")
-            .map_groups(_shard_gate_fn(actors, n), batch_format="pyarrow")
+            frontier.groupby("shard", num_partitions=cfg.seen_shards)
+            .map_groups(
+                _shard_gate_fn(actors, n, gate_stats_dir), batch_format="pyarrow"
+            )
             .materialize()
         )
-        for row in gated.groupby("gate_status").count().take_all():
-            name = GATE_NAMES.get(row["gate_status"], str(row["gate_status"]))
-            if name == "admitted":
-                stats.admitted = row["count()"]
-            elif name == "politeness/deferred":
-                stats.deferred = row["count()"]
-            elif name == "robotstxt/forbidden":
-                stats.robots_forbidden = row["count()"]
-            else:
-                stats.dupefilter_filtered += row["count()"]
+        for fname in os.listdir(gate_stats_dir) if os.path.isdir(gate_stats_dir) else []:
+            if fname.endswith(".json"):
+                with open(os.path.join(gate_stats_dir, fname)) as f:
+                    c = json.load(f)
+                stats.frontier += c["total"]
+                stats.admitted += c["admitted"]
+                stats.deferred += c["deferred"]
+                stats.robots_forbidden += c["robots_forbidden"]
+                stats.dupefilter_filtered += c["dupefilter_filtered"]
 
-        admitted = gated.filter(expr="gate_status == 0")
-        deferred = gated.filter(expr="gate_status == 1")
-
-        # 2. fetch + parse (second shuffle: url-bucket; html stays in-task)
-        fetched_dir = os.path.join(self._round_dir(n), "fetched")
-        store_dir, round_id = self.store_dir, n
-        if stats.admitted:
-            edges = (
-                admitted.drop_columns(["gate_status"])
-                .groupby("bucket")
-                .map_groups(
-                    lambda g: FetchParse(store_dir, round_id, fetched_dir, cfg)(g),
-                    batch_format="pyarrow",
-                )
-            )
-            # 3. candidate filters → next-round frontier rows
-            candidates = edges.map_batches(
-                lambda b: edges_to_candidates(b, cfg), batch_format="pyarrow"
-            ).materialize()
-            stats.edges = candidates.count()
-            for row in candidates.groupby("drop_reason").count().take_all():
-                reason = DROP_REASON_NAMES.get(row["drop_reason"], "other")
-                if row["drop_reason"] != KEEP:
-                    stats.candidate_drops[reason] = row["count()"]
-            kept = candidates.filter(expr="drop_reason == 0").drop_columns(
-                ["drop_reason"]
-            )
-        else:
-            kept = None
-
-        # fetched / miss counts from the artifact the fetch tasks wrote
-        if os.path.isdir(fetched_dir) and os.listdir(fetched_dir):
-            hit, miss = 0, 0
-            for fname in os.listdir(fetched_dir):
-                if fname.endswith(".parquet"):
-                    t = pq.read_table(
-                        os.path.join(fetched_dir, fname), columns=["status"]
-                    )
-                    s = t["status"].to_numpy()
-                    hit += int((s == 200).sum())
-                    miss += int((s != 200).sum())
-            stats.fetched, stats.fetch_miss = hit, miss
-
-        # 4. next frontier = kept candidates ∪ deferred (budget carry-over)
+        # 2. expand: fetch+parse+filter fused per url-bucket, unioned with
+        # deferred rows, streamed straight into next round's frontier files.
         def mark_enqueued(b: pa.Table) -> pa.Table:
             idx = b.column_names.index("already_enqueued")
             return b.set_column(
@@ -461,35 +449,66 @@ class CrawlEngine:
                 pa.array(np.ones(b.num_rows, bool), pa.bool_()),
             )
 
+        store_dir = self.store_dir
         parts = []
-        if kept is not None and stats.edges:
-            parts.append(kept)
-        if stats.deferred:
+        if stats.admitted:
             parts.append(
-                deferred.drop_columns(["gate_status"]).map_batches(
-                    mark_enqueued, batch_format="pyarrow"
+                gated.filter(expr="gate_status == 0")
+                .drop_columns(["gate_status"])
+                .groupby("bucket", num_partitions=cfg.fetch_buckets)
+                .map_groups(
+                    lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
+                    batch_format="pyarrow",
                 )
             )
-        next_frontier = parts[0].union(*parts[1:]) if len(parts) > 1 else (
-            parts[0] if parts else None
-        )
+        if stats.deferred:
+            parts.append(
+                gated.filter(expr="gate_status == 1")
+                .drop_columns(["gate_status"])
+                .map_batches(mark_enqueued, batch_format="pyarrow")
+            )
 
         next_count = 0
-        if next_frontier is not None:
-            next_frontier = next_frontier.materialize()
-            next_count = next_frontier.count()
-            if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
-                # bound the shuffle: global top-k by crawl order; the tail is
-                # dropped (re-discoverable via links) — SURVEY.md §4.2
-                next_frontier = next_frontier.sort(
-                    ["priority", "order_key"], descending=[True, False]
-                ).limit(cfg.max_round_candidates)
-                next_count = cfg.max_round_candidates
-        stats.candidates_kept = next_count
-        if next_count:
+        if parts:
             nf_dir = self._frontier_dir(n + 1)
+            if os.path.isdir(nf_dir):  # partial files from a killed attempt
+                shutil.rmtree(nf_dir)
             os.makedirs(nf_dir, exist_ok=True)
-            next_frontier.write_parquet(nf_dir)
+            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            ds.write_parquet(nf_dir)
+            next_count = _parquet_rows(nf_dir)
+            if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
+                # bound the next shuffle: global top-k by crawl order; the
+                # tail is dropped (re-discoverable via links) — SURVEY.md §4.2
+                capped = (
+                    ray.data.read_parquet(nf_dir)
+                    .sort(["priority", "order_key"], descending=[True, False])
+                    .limit(cfg.max_round_candidates)
+                )
+                tmp_dir = nf_dir + ".capped"
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                os.makedirs(tmp_dir)
+                capped.write_parquet(tmp_dir)
+                shutil.rmtree(nf_dir)
+                os.replace(tmp_dir, nf_dir)
+                next_count = cfg.max_round_candidates
+            if next_count == 0:
+                shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
+
+        # fetch / candidate counters from the bucket sidecars
+        if os.path.isdir(fetched_dir):
+            for fname in os.listdir(fetched_dir):
+                if fname.endswith(".stats.json"):
+                    with open(os.path.join(fetched_dir, fname)) as f:
+                        c = json.load(f)
+                    stats.fetched += c["fetched"]
+                    stats.fetch_miss += c["miss"]
+                    stats.edges += c["edges"]
+                    for reason, cnt in c["drops"].items():
+                        stats.candidate_drops[reason] = (
+                            stats.candidate_drops.get(reason, 0) + cnt
+                        )
+        stats.candidates_kept = next_count
 
         # 5. checkpoint seen deltas, then commit the manifest (atomic, LAST)
         ray.get([a.checkpoint.remote(self.seen_dir, n) for a in actors])

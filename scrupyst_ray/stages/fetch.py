@@ -26,6 +26,7 @@ idempotent); the dataset flow carries only edge metadata onward.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -110,11 +111,19 @@ def _read_bucket_pages(store_dir: str, bucket: int, urls: list[str]) -> pa.Table
 
 
 class FetchParse:
-    """Actor-pool ``map_groups`` callable: fetch one bucket group + parse.
+    """Fused fetch→parse→candidate stage for one bucket group.
 
-    Stateful setup (link-extractor config compile, store path) happens once
-    per actor in ``__init__``; per-batch work in ``__call__`` (SURVEY.md
-    actor-pool pattern).
+    One task per url-bucket per round: reads the bucket's page bytes, decodes
+    text, extracts links, builds + filters next-round candidate rows
+    (``stages.frontier.edges_to_candidates``), and side-writes two artifacts
+    keyed by the stable bucket id (idempotent tmp+rename, retry-safe):
+
+    - ``fetched/bucket=K.parquet`` — the crawl-order artifact rows,
+    - ``fetched/bucket=K.stats.json`` — counters (fetched/miss/edges/drops),
+      so per-round stats cost zero extra Ray Data executions.
+
+    Returns the KEPT candidate frontier rows (html and dropped candidates
+    never leave the task).
     """
 
     def __init__(
@@ -132,8 +141,17 @@ class FetchParse:
         os.makedirs(fetched_dir, exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from scrupyst_ray.stages.frontier import (
+            DROP_REASON_NAMES,
+            FRONTIER_SCHEMA,
+            KEEP,
+            edges_to_candidates,
+        )
+
         if group.num_rows == 0:
-            return pa.table({k: [] for k in EDGE_META_SCHEMA.names}, schema=EDGE_META_SCHEMA)
+            return pa.table(
+                {k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
+            )
         bucket = group["bucket"][0].as_py()
         urls = group["url"].to_pylist()
         pages = _read_bucket_pages(self.store_dir, bucket, urls)
@@ -194,7 +212,7 @@ class FetchParse:
         pq.write_table(fetched, out_path + ".tmp")
         os.replace(out_path + ".tmp", out_path)  # idempotent on task retry
 
-        return pa.table(
+        edges = pa.table(
             {
                 "dst": pa.array(e_dst, pa.string()),
                 "nofollow": pa.array(e_nofollow, pa.bool_()),
@@ -204,3 +222,25 @@ class FetchParse:
             },
             schema=EDGE_META_SCHEMA,
         )
+        candidates = edges_to_candidates(edges, self.cfg)
+        reasons = candidates["drop_reason"].to_numpy(zero_copy_only=False)
+        kept = candidates.filter(pa.array(reasons == KEEP)).drop_columns(
+            ["drop_reason"]
+        )
+        drops = {
+            DROP_REASON_NAMES[int(r)]: int(c)
+            for r, c in zip(*np.unique(reasons[reasons != KEEP], return_counts=True))
+        }
+        stats = {
+            "bucket": int(bucket),
+            "fetched": int((statuses == 200).sum()),
+            "miss": int((statuses != 200).sum()),
+            "edges": int(edges.num_rows),
+            "kept": int(kept.num_rows),
+            "drops": drops,
+        }
+        sc_path = os.path.join(self.fetched_dir, f"bucket={bucket:06d}.stats.json")
+        with open(sc_path + ".tmp", "w") as f:
+            json.dump(stats, f)
+        os.replace(sc_path + ".tmp", sc_path)
+        return kept
