@@ -1,0 +1,115 @@
+"""Feed export (S4) + item exporters (S5) — reference
+``scrapy/extensions/feedexport.py:437-739`` / ``scrapy/exporters.py:39-375``.
+
+Ray-Data-native mapping: a feed = (filter, field projection, format writer).
+Batch rotation (`FEED_EXPORT_BATCH_ITEM_COUNT`) maps to Ray block files via
+``min_rows_per_file``/``max_rows_per_file``; per-feed item filters are
+``ds.filter``; ``fields_to_export`` selection/renaming is ``select_columns``
++ rename.  Formats: parquet, jsonl, json-array, csv, xml (small writer for
+parity with the reference's nested XML exporter, ``exporters.py:203-221``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from xml.sax.saxutils import escape
+
+import pyarrow as pa
+
+FORMATS = ("parquet", "jsonl", "csv", "json", "xml")
+
+
+def export_dataset(
+    ds,
+    path: str,
+    fmt: str = "parquet",
+    fields: list[str] | dict[str, str] | None = None,
+    item_filter: str | Callable | None = None,
+    batch_item_count: int | None = None,
+):
+    """Export *ds* to *path* in *fmt*.
+
+    - ``fields``: list (projection) or dict old→new (projection + rename)
+      — reference ``fields_to_export`` (``exporters.py:74-110``).
+    - ``item_filter``: expr string or row predicate — reference per-feed
+      ``ItemFilter`` (``feedexport.py:57-90``).
+    - ``batch_item_count``: rows per output file — reference
+      ``FEED_EXPORT_BATCH_ITEM_COUNT`` (``feedexport.py:588-652``).
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown export format {fmt!r}; use one of {FORMATS}")
+    if item_filter is not None:
+        ds = ds.filter(expr=item_filter) if isinstance(item_filter, str) else ds.filter(item_filter)
+    if fields:
+        if isinstance(fields, dict):
+            ds = ds.select_columns(list(fields.keys()))
+            new_names = list(fields.values())
+            ds = ds.map_batches(
+                lambda b: b.rename_columns(new_names), batch_format="pyarrow"
+            )
+        else:
+            ds = ds.select_columns(list(fields))
+    os.makedirs(path, exist_ok=True)
+    kw = {}
+    if batch_item_count:
+        kw = {"min_rows_per_file": batch_item_count, "max_rows_per_file": batch_item_count}
+    if fmt == "parquet":
+        ds.write_parquet(path, **kw)
+    elif fmt == "jsonl":
+        ds.write_json(path, **kw)
+    elif fmt == "csv":
+        ds.write_csv(path, **kw)
+    elif fmt == "json":
+        _write_single(ds, os.path.join(path, "items.json"), _json_array_bytes)
+    elif fmt == "xml":
+        _write_single(ds, os.path.join(path, "items.xml"), _xml_bytes)
+    return path
+
+
+def _write_single(ds, file_path: str, render: Callable[[list[dict]], bytes]) -> None:
+    """Single-file formats (json array / xml): small-result exporters — the
+    reference streams them through one process too; do NOT use for big data
+    (use parquet/jsonl, which write per-block)."""
+    import ray
+
+    rows: list[dict] = []
+    for ref in ds.to_arrow_refs():
+        rows.extend(ray.get(ref).to_pylist())
+    tmp = file_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(render(rows))
+    os.replace(tmp, file_path)
+
+
+def _json_array_bytes(rows: list[dict]) -> bytes:
+    return json.dumps(rows, default=str).encode()
+
+
+def _xml_field(name: str, value, parts: list[str]) -> None:
+    # nested dict/list → nested elements (reference _export_xml_field,
+    # exporters.py:203-221: lists render repeated <value> elements)
+    if isinstance(value, dict):
+        parts.append(f"<{name}>")
+        for k, v in value.items():
+            _xml_field(k, v, parts)
+        parts.append(f"</{name}>")
+    elif isinstance(value, (list, tuple)):
+        parts.append(f"<{name}>")
+        for v in value:
+            _xml_field("value", v, parts)
+        parts.append(f"</{name}>")
+    else:
+        parts.append(f"<{name}>{escape(str(value))}</{name}>")
+
+
+def _xml_bytes(rows: list[dict]) -> bytes:
+    parts = ['<?xml version="1.0" encoding="utf-8"?>\n<items>']
+    for row in rows:
+        parts.append("<item>")
+        for k, v in row.items():
+            _xml_field(k, v, parts)
+        parts.append("</item>")
+    parts.append("</items>")
+    return "".join(parts).encode()

@@ -1,0 +1,134 @@
+"""Tests for feed export (S4/S5) and seed readers (S2/S3)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from scrupyst_ray.stages.export import export_dataset
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExport:
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": [1, 2, 3, 4],
+                    "b": ["w", "x", "y", "z"],
+                    "keep": [True, True, False, True],
+                }
+            )
+        )
+
+    def test_parquet_with_filter_and_fields(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        out = export_dataset(
+            self._ds(),
+            str(tmp_path / "p"),
+            fmt="parquet",
+            fields=["a", "b"],
+            item_filter="keep == True",
+        )
+        t = pq.read_table(out)
+        assert t.num_rows == 3
+        assert t.column_names == ["a", "b"]
+
+    def test_jsonl(self, tmp_path):
+        out = export_dataset(self._ds(), str(tmp_path / "j"), fmt="jsonl")
+        rows = []
+        for f in os.listdir(out):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(line) for line in fh if line.strip()]
+        assert sorted(r["a"] for r in rows) == [1, 2, 3, 4]
+
+    def test_csv_rename(self, tmp_path):
+        out = export_dataset(
+            self._ds(), str(tmp_path / "c"), fmt="csv", fields={"a": "id", "b": "name"}
+        )
+        content = ""
+        for f in sorted(os.listdir(out)):
+            content += open(os.path.join(out, f)).read()
+        assert content.splitlines()[0].replace('"', "") == "id,name"
+
+    def test_json_array(self, tmp_path):
+        out = export_dataset(self._ds(), str(tmp_path / "ja"), fmt="json")
+        rows = json.load(open(os.path.join(out, "items.json")))
+        assert len(rows) == 4
+
+    def test_xml_nested(self, tmp_path):
+        import ray.data
+
+        ds = ray.data.from_items([{"a": 1, "tags": ["x", "y"]}])
+        out = export_dataset(ds, str(tmp_path / "x"), fmt="xml")
+        xml = open(os.path.join(out, "items.xml")).read()
+        # reference exporters.py:203-221: lists → repeated <value> elements
+        assert "<tags><value>x</value><value>y</value></tags>" in xml
+
+    def test_unknown_format(self, tmp_path):
+        with pytest.raises(ValueError):
+            export_dataset(self._ds(), str(tmp_path / "u"), fmt="pickle")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReaders:
+    def test_parquet_seeds_passthrough(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from scrupyst_ray.sources.readers import read_seeds
+
+        p = str(tmp_path / "seeds.parquet")
+        pq.write_table(
+            pa.table({"url": ["http://a/1", "http://a/2"], "seq": [0, 1]}), p
+        )
+        ds = read_seeds(p)
+        assert ds.schema().names == ["url", "seq"]
+        assert ds.count() == 2
+
+    def test_txt_seeds_get_fifo_seq(self, tmp_path):
+        from scrupyst_ray.sources.readers import read_seeds
+
+        p = str(tmp_path / "seeds.txt")
+        with open(p, "w") as f:
+            f.write("http://a/1\nhttp://a/2\nhttp://a/3\n")
+        rows = read_seeds(p).take_all()
+        assert [r["seq"] for r in rows] == [0, 1, 2]
+        assert rows[0]["url"] == "http://a/1"
+
+    def test_txt_seeds_skip_comments_and_keep_file_order(self, tmp_path):
+        from scrupyst_ray.sources.readers import read_seeds
+
+        p = str(tmp_path / "seeds.txt")
+        with open(p, "w") as f:
+            f.write("http://z/1\n\n# a comment\nhttp://a/2\n  http://m/3  \n")
+        rows = sorted(read_seeds(p).take_all(), key=lambda r: r["seq"])
+        assert [(r["url"], r["seq"]) for r in rows] == [
+            ("http://z/1", 0),
+            ("http://a/2", 1),
+            ("http://m/3", 2),
+        ]
+
+    def test_csv_seeds(self, tmp_path):
+        from scrupyst_ray.sources.readers import read_seeds
+
+        p = str(tmp_path / "seeds.csv")
+        with open(p, "w") as f:
+            f.write("url\nhttp://a/9\nhttp://a/8\n")
+        rows = read_seeds(p).take_all()
+        assert len(rows) == 2 and rows[0]["seq"] == 0
+
+    def test_missing_url_column(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from scrupyst_ray.sources.readers import read_seeds
+
+        p = str(tmp_path / "bad.parquet")
+        pq.write_table(pa.table({"link": ["x"]}), p)
+        with pytest.raises(ValueError):
+            read_seeds(p)
