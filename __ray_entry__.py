@@ -152,7 +152,7 @@ def _q_media(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from scrupyst_ray.pipelines import ann, dedup, relational, textstats
+    from scrupyst_ray.pipelines import ann, dedup, relational, textstats, webops
 
     return {
         # -- crawl engine operators (synthetic page corpus; rows-only) --
@@ -185,6 +185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # -- middleware kernels over the page corpus (rows-only) --
+        "sniff_types": webops.sniff_types,
+        "decompress_roundtrip": webops.decompress_roundtrip,
+        "referer_edges": webops.referer_edges,
+        "sitemap_entries": webops.sitemap_entries,
+        "followup_frontier": webops.followup_frontier,
         # -- multimodal plumbing (stubbed decode; real schema/actors) --
         "media_features": _q_media,
     }

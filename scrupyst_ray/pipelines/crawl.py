@@ -173,6 +173,10 @@ class RoundStats:
     candidates_kept: int = 0
     candidate_drops: dict = field(default_factory=dict)
     wall_s: float = 0.0
+    gate_s: float = 0.0
+    expand_s: float = 0.0
+    cap_s: float = 0.0
+    checkpoint_s: float = 0.0
 
 
 @dataclass
@@ -431,6 +435,7 @@ class CrawlEngine:
         # num_partitions pinned to the shard count — the default would cut
         # the tiny frontier metadata into hundreds of near-empty partitions
         # (pure scheduling overhead per round).
+        t_gate = time.monotonic()
         gated = (
             frontier.groupby("shard", num_partitions=cfg.seen_shards)
             .map_groups(
@@ -438,6 +443,7 @@ class CrawlEngine:
             )
             .materialize()
         )
+        stats.gate_s = round(time.monotonic() - t_gate, 2)
         for fname in os.listdir(gate_stats_dir) if os.path.isdir(gate_stats_dir) else []:
             if fname.endswith(".json"):
                 with open(os.path.join(gate_stats_dir, fname)) as f:
@@ -478,6 +484,7 @@ class CrawlEngine:
             )
 
         next_count = 0
+        t_expand = time.monotonic()
         if parts:
             nf_dir = self._frontier_dir(n + 1)
             if os.path.isdir(nf_dir):  # partial files from a killed attempt
@@ -486,7 +493,9 @@ class CrawlEngine:
             ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
             ds.write_parquet(nf_dir)
             next_count = _parquet_rows(nf_dir)
+            stats.expand_s = round(time.monotonic() - t_expand, 2)
             if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
+                t_cap = time.monotonic()
                 # bound the next shuffle: global top-k by crawl order; the
                 # tail is dropped (re-discoverable via links) — SURVEY.md §4.2
                 capped = (
@@ -501,6 +510,7 @@ class CrawlEngine:
                 shutil.rmtree(nf_dir)
                 os.replace(tmp_dir, nf_dir)
                 next_count = cfg.max_round_candidates
+                stats.cap_s = round(time.monotonic() - t_cap, 2)
             if next_count == 0:
                 shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
 
@@ -520,7 +530,9 @@ class CrawlEngine:
         stats.candidates_kept = next_count
 
         # 5. checkpoint seen deltas, then commit the manifest (atomic, LAST)
+        t_ckpt = time.monotonic()
         ray.get([a.checkpoint.remote(self.seen_dir, n) for a in actors])
+        stats.checkpoint_s = round(time.monotonic() - t_ckpt, 2)
         stats.wall_s = time.monotonic() - t0
         manifest = {
             "round": n,

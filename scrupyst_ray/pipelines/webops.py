@@ -1,0 +1,172 @@
+"""Query-surface pipelines for the web-operator kernels (SURVEY.md §2.2
+M8/M9/M10/M11/M13/M15) over the deterministic synthetic page corpus.
+
+Each function takes an ``sf_dir`` like every other ``queries()`` entry; the
+corpus itself is a pure function of (H, P) so results are reproducible at any
+scale factor.  These operators act on page bytes/URLs, which the driver's
+TPC-H-ish tables don't carry — so they are rows-only checks (no DuckDB
+oracle), but every one runs as a real Ray Data ``map_batches`` pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pyarrow as pa
+import ray.data
+
+from scrupyst_ray.sources.corpus import (
+    corpus_cache_dir,
+    host_name,
+    page_url,
+    write_corpus,
+)
+
+_H, _P = 8, 50
+
+
+def _pages(columns: list[str] | None = None):
+    corpus = corpus_cache_dir("/tmp", _H, _P)
+    write_corpus(corpus, H=_H, P=_P)
+    return ray.data.read_parquet(os.path.join(corpus, "pages"), columns=columns)
+
+
+def sniff_types(sf_dir: str):
+    """M13 response-type sniffing: (url, is_html, is_xml, is_text) per page."""
+    from scrupyst_ray.functions.sniff import sniff_batch
+
+    ds = _pages(["url", "html"])
+    return (
+        ds.map_batches(sniff_batch, batch_format="pyarrow")
+        .drop_columns(["html"])
+        .sort("url")
+    )
+
+
+def decompress_roundtrip(sf_dir: str):
+    """M11 HTTP decompression: gzip each page body, run the decompress
+    kernel, verify byte-identity with the stored body."""
+    from scrupyst_ray.functions.compression import decompress_batch
+
+    ds = _pages(["url", "html"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        orig = b["html"].to_pylist()
+        comp = [gzip.compress(h or b"", compresslevel=1, mtime=0) for h in orig]
+        return pa.table({"url": b["url"], "html": pa.array(comp, pa.binary()), "orig": b["html"]})
+
+    def check(b: pa.Table) -> pa.Table:
+        out = decompress_batch(b, body_col="html")
+        ok = [a == c for a, c in zip(out["html"].to_pylist(), out["orig"].to_pylist())]
+        return pa.table(
+            {
+                "url": out["url"],
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+                "n_bytes": pa.array([len(x or b"") for x in out["orig"].to_pylist()], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pack, batch_format="pyarrow")
+        .map_batches(check, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
+def referer_edges(sf_dir: str):
+    """M8 referer policy: the Referer value each extracted edge would carry
+    under the reference default policy and under strict-origin."""
+    from scrupyst_ray.functions.textextract import detect_and_decode
+    from scrupyst_ray.functions.links import extract_links_batch
+    from scrupyst_ray.functions.referer import referer_for
+
+    ds = _pages(["url", "html"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        decoded = [detect_and_decode(h or b"") for h in b["html"].to_pylist()]
+        e = extract_links_batch(
+            [t for _, t in decoded], urls, [enc for enc, _ in decoded]
+        )
+        src = e["src"].to_pylist()
+        dst = e["dst"].to_pylist()
+        return pa.table(
+            {
+                "src": e["src"],
+                "dst": e["dst"],
+                "link_idx": e["link_idx"],
+                "referer_default": pa.array(
+                    [referer_for(s, d) for s, d in zip(src, dst)], pa.string()
+                ),
+                "referer_strict_origin": pa.array(
+                    [referer_for(s, d, policy="strict-origin") for s, d in zip(src, dst)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(edges, batch_format="pyarrow").sort(["src", "link_idx"])
+
+
+def sitemap_entries(sf_dir: str):
+    """M15 sitemap parsing: per-host urlset XML built from the corpus page
+    list (half the hosts gzipped, exercising the gunzip sniff), parsed by the
+    sitemap kernel into (src, loc, kind) rows."""
+    from scrupyst_ray.functions.sitemap import sitemap_batch
+
+    urls, bodies = [], []
+    for h in range(_H):
+        locs = "".join(
+            f"<url><loc>{page_url(h, n)}</loc></url>" for n in range(1, _P + 1, 7)
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{locs}</urlset>"
+        ).encode()
+        gz = h % 2 == 1
+        urls.append(f"http://{host_name(h)}/sitemap.xml" + (".gz" if gz else ""))
+        bodies.append(gzip.compress(xml, mtime=0) if gz else xml)
+    t = pa.table({"url": urls, "html": pa.array(bodies, pa.binary())})
+    ds = ray.data.from_arrow(t)
+    return ds.map_batches(sitemap_batch, batch_format="pyarrow").sort(["src", "loc"])
+
+
+def followup_frontier(sf_dir: str):
+    """M9/M10 redirect+retry re-emission: synthetic per-url statuses (3xx
+    with Location, retryable 5xx, plain 200) derived deterministically from
+    the page index, flat-mapped into next-round frontier rows."""
+    from scrupyst_ray.functions.hashing import stable_hash64
+    from scrupyst_ray.stages.followup import followups_batch
+
+    ds = _pages(["url"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        status, redirect = [], []
+        for u in urls:
+            k = stable_hash64(u) % 10
+            if k == 0:
+                status.append(301)
+                redirect.append(f"/moved?k={stable_hash64(u) % 97}")
+            elif k == 1:
+                status.append(503)
+                redirect.append(None)
+            else:
+                status.append(200)
+                redirect.append(None)
+        return pa.table(
+            {
+                "url": b["url"],
+                "status": pa.array(status, pa.int32()),
+                "redirect_to": pa.array(redirect, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        followups_batch, batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["url", "host", "depth", "priority", "dont_filter", "retry_times", "redirect_times"]
+    ).sort("url")

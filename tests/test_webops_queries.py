@@ -1,0 +1,49 @@
+"""Smoke tests for the webops query surface (queries() entries for the
+middleware kernels M8/M9/M10/M11/M13/M15 — rows-only driver checks)."""
+
+from scrupyst_ray.pipelines import webops
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestWebopsQueries:
+    def test_sniff_types(self):
+        t = webops.sniff_types(SF).take_all()
+        assert len(t) > 0
+        # page bodies are html; robots.txt rows are plain text
+        for r in t:
+            if r["url"].endswith("/robots.txt"):
+                assert r["is_text"] and not r["is_html"]
+            else:
+                assert r["is_html"]
+
+    def test_decompress_roundtrip(self):
+        t = webops.decompress_roundtrip(SF).take_all()
+        assert len(t) > 0 and all(r["roundtrip_ok"] for r in t)
+
+    def test_referer_edges(self):
+        t = webops.referer_edges(SF).take_all()
+        assert len(t) > 0
+        r = t[0]
+        # default policy: full parent URL (http→http is not a downgrade);
+        # strict-origin: origin only
+        assert r["referer_default"] == r["src"]
+        assert r["referer_strict_origin"].endswith(".test/")
+
+    def test_sitemap_entries(self):
+        t = webops.sitemap_entries(SF).take_all()
+        assert len(t) > 0
+        assert {r["kind"] for r in t} == {"urlset"}
+        # gzipped and plain sitemaps both parsed
+        srcs = {r["src"] for r in t}
+        assert any(s.endswith(".xml.gz") for s in srcs)
+        assert any(s.endswith(".xml") for s in srcs)
+
+    def test_followup_frontier(self):
+        t = webops.followup_frontier(SF).take_all()
+        assert len(t) > 0
+        retries = [r for r in t if r["retry_times"] > 0]
+        redirects = [r for r in t if r["redirect_times"] > 0]
+        assert retries and redirects
+        assert all(r["dont_filter"] for r in retries)
+        assert all("/moved?" in r["url"] for r in redirects)
