@@ -192,7 +192,14 @@ def extract_links(
             url = safe_url_string(attr_val, encoding=response_encoding)
         except ValueError:
             continue
-        url = urljoin(response_url_safe, url)
+        # urljoin with an absolute reference (scheme + netloc) is the
+        # identity (Python does not dot-normalize absolute refs), so skip
+        # the re-parse for the common case — verified in test_links parity
+        if not (
+            (url.startswith("http://") or url.startswith("https://"))
+            and url[url.index("//") + 2 : url.index("//") + 3] not in ("", "/", "?", "#")
+        ):
+            url = urljoin(response_url_safe, url)
         link = Link(url, "".join(chunks), nofollow=_rel_has_nofollow(rel))
         if config.link_allowed(link):
             links.append(link)

@@ -22,7 +22,6 @@ Arrow ``map_batches`` kernels (see ``scrupyst_ray.stages``).
 
 from __future__ import annotations
 
-import posixpath
 import re
 import string
 from urllib.parse import (
@@ -55,6 +54,35 @@ _C0_SPACE = "".join(chr(c) for c in range(0x21)) + "\x7f"
 
 HTML5_WHITESPACE = " \t\n\r\x0c"
 
+# -- fast paths ---------------------------------------------------------------
+# The slow paths below are exact reimplementations of the w3lib contracts; the
+# hot loop (link extraction + fingerprinting: millions of calls per round)
+# mostly sees URLs that the slow path maps to THEMSELVES.  Each fast-path
+# regex admits only inputs for which the function is provably the identity
+# (or a trivial rewrite), everything else falls through to the full path.
+# Parity is enforced by tests/test_fingerprint.py::TestUrlnormFastPathParity,
+# which compares fast vs forced-slow on golden + adversarial + random inputs.
+
+# safe_url_string identity: lowercase http(s) scheme, lowercase ASCII host
+# (no userinfo/port), all remaining chars inside the component-wise safe sets
+# (every char of _SAFE_CHARS plus the '?'/'#' separators).
+_SAFE_FAST_RE = re.compile(
+    r"^https?://[a-z0-9.\-]+"
+    r"(?:$|[/?#][A-Za-z0-9%/?#@!$&'()*+,;=\[\]\-._~:|]*$)"
+)
+
+# canonicalize_url fast shape: lowercase http(s)://host/path with no '%', no
+# ';' (urlparse params), query restricted to quote_plus-safe chars.  The
+# query is still key-sorted in the fast path; the fragment is dropped or
+# kept verbatim.
+_CANON_FAST_RE = re.compile(
+    r"^https?://[a-z0-9.\-]+/[A-Za-z0-9/=._\-~:@!$&'()*+,|]*"
+    r"(?:\?[A-Za-z0-9_.\-~=&]+)?$"
+)
+_CANON_FRAGMENT_RE = re.compile(r"^[A-Za-z0-9%/?@!$&'()*+,;=\[\]\-._~:|#]+$")
+
+_HOST_FAST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([a-z0-9.\-]+)(?=[/?#]|$)")
+
 
 def strip_html5_whitespace(text: str) -> str:
     """Strip HTML5 space characters (space, tab, LF, FF, CR) from both ends."""
@@ -77,6 +105,25 @@ def safe_url_string(
     non-safe characters in path/query/fragment (leaving existing %XX escapes
     untouched because '%' is in the safe set), keep userinfo and port.
     """
+    if quote_path and _SAFE_FAST_RE.match(url):
+        # identity fast path — but a bare trailing '?'/'#' (empty query or
+        # fragment) is dropped by urlunsplit, so those shapes fall through
+        hi = url.find("#")
+        if hi != len(url) - 1:
+            end = hi if hi != -1 else len(url)
+            qi = url.find("?", 0, end)
+            if qi == -1 or qi + 1 != end:
+                return url
+    return _safe_url_string_slow(url, encoding, path_encoding, quote_path)
+
+
+def _safe_url_string_slow(
+    url: str,
+    encoding: str = "utf-8",
+    path_encoding: str = "utf-8",
+    quote_path: bool = True,
+) -> str:
+    """Full general path (fast-path parity oracle)."""
     decoded = _strip(url)
     parts = urlsplit(decoded)
 
@@ -173,6 +220,42 @@ def canonicalize_url(
     Golden oracle: the reference fingerprint test vectors
     (``tests/test_utils_request.py:65-141``) which hash this string.
     """
+    # fast path: already-canonical shape except (possibly) query order and
+    # the fragment — sort the query pairs in place, drop/keep the fragment
+    hi = url.find("#")
+    base = url[:hi] if hi != -1 else url
+    if _CANON_FAST_RE.match(base):
+        qi = base.find("?")
+        if qi == -1:
+            query_ok = True
+        else:
+            pairs = base[qi + 1 :].split("&")
+            query_ok = all(p.count("=") == 1 for p in pairs)
+            if query_ok:
+                kv = [p.split("=", 1) for p in pairs]
+                if not keep_blank_values:
+                    kv = [p for p in kv if p[1]]
+                kv.sort()
+                if kv:
+                    base = base[:qi] + "?" + "&".join(f"{k}={v}" for k, v in kv)
+                else:
+                    base = base[:qi]
+        if query_ok:
+            if not keep_fragments or hi == -1:
+                return base
+            fragment = url[hi + 1 :]
+            if fragment and _CANON_FRAGMENT_RE.match(fragment):
+                return base + "#" + fragment
+    return _canonicalize_url_slow(url, keep_blank_values, keep_fragments, encoding)
+
+
+def _canonicalize_url_slow(
+    url: str,
+    keep_blank_values: bool = True,
+    keep_fragments: bool = False,
+    encoding: str | None = None,
+) -> str:
+    """Full general path (fast-path parity oracle)."""
     enc = encoding or "utf-8"
     parts = urlparse(url)
     try:
@@ -201,24 +284,60 @@ def parse_host(url: str) -> str:
     """Lowercased hostname of *url* ('' if unparseable) — the politeness /
     seen-shard routing key (reference slot key: hostname,
     ``scrapy/core/downloader/__init__.py:169-177``)."""
+    m = _HOST_FAST_RE.match(url)
+    if m:
+        return m.group(1)
     try:
         return (urlsplit(url).hostname or "").lower()
     except ValueError:
         return ""
 
 
+def _url_path(url: str) -> str:
+    """``urlparse(url).path`` without the full parse (params split included)."""
+    i = url.find("://")
+    if i == -1 or not (
+        url[:i].isascii()
+        and url[:1].isalpha()
+        and url[:i].replace("+", "a").replace("-", "a").replace(".", "a").isalnum()
+    ):
+        try:
+            return urlparse(url).path
+        except ValueError:
+            raise
+    j = url.find("/", i + 3)
+    if j == -1:
+        return ""
+    end = len(url)
+    for sep in ("#", "?"):
+        k = url.find(sep, j, end)
+        if k != -1:
+            end = k
+    path = url[j:end]
+    # urlparse splits ';params' off the last path segment
+    semi = path.find(";", path.rfind("/"))
+    if semi != -1:
+        path = path[:semi]
+    return path
+
+
 def url_has_any_extension(url: str, extensions: frozenset[str] | set[str]) -> bool:
     """True if the URL path ends in one of *extensions* (reference
-    ``scrapy/utils/url.py:50-55``; used for IGNORED_EXTENSIONS)."""
+    ``scrapy/utils/url.py:50-55``; used for IGNORED_EXTENSIONS).
+    Equivalent to checking every dot-suffix of the path against the set
+    (extensions may contain one internal dot, e.g. ``tar.gz``)."""
     try:
-        path = urlparse(url).path
+        path = _url_path(url).lower()
     except ValueError:
         return False
-    lowercase_path = path.lower()
-    # handle multi-dot extensions such as "tar.gz"
-    return any(lowercase_path.endswith(f".{ext}") for ext in extensions) or (
-        posixpath.splitext(lowercase_path)[1].lstrip(".") in extensions
-    )
+    pos = len(path)
+    for _ in range(4):
+        pos = path.rfind(".", 0, pos)
+        if pos == -1:
+            return False
+        if path[pos + 1 :] in extensions:
+            return True
+    return False
 
 
 def url_is_from_any_domain(url: str, domains: list[str]) -> bool:

@@ -4,17 +4,18 @@ Replaces the reference's single-process asyncio event loop
 (``scrapy/core/engine.py:269-427``) with frontier-expansion rounds
 (SURVEY.md §7.0).  One round =
 
-    frontier_N ──groupby(shard)──▶ StateShard actors   (dedup + seen + robots
-               │                                         + per-host budget)
-               ├─ admitted ──groupby(bucket)──▶ fetch+parse (bucketed page
-               │                                 store; html never shuffled)
-               │      └─ side-write: fetched artifact → checkpoint
-               ├─ edges → candidate filters → frontier_{N+1} candidates
-               └─ deferred (over budget) ∪ candidates → frontier_{N+1}
+    frontier_N ──groupby(shard)──▶ gate: within-round dedup → lazy
+               │                   fingerprint → StateShard RPC (seen +
+               │                   robots + per-host budget)
+               │                     └─ side-write: deferred → frontier_{N+1}
+               └─ admitted ──groupby(bucket)──▶ fetch+parse (bucketed page
+                                store; html never shuffled)
+                      ├─ side-write: fetched artifact → checkpoint
+                      └─ edges → candidate filters → frontier_{N+1}
 
-Shuffles per round move only frontier METADATA (~100 B/row): one groupby by
-host-shard, one by url-bucket.  The page corpus itself is never shuffled or
-re-scanned (see ``stages/fetch.py``).
+One Ray Data execution per round; the two shuffles move only frontier
+METADATA (~100 B/row): one groupby by host-shard, one by url-bucket.  The
+page corpus itself is never shuffled or re-scanned (see ``stages/fetch.py``).
 
 Checkpoint layout (resume = reference JOBDIR contract,
 ``scrapy/core/scheduler.py:441-496`` + ``dupefilters.py:76-82``):
@@ -51,6 +52,7 @@ import pyarrow.parquet as pq
 import ray
 
 from scrupyst_ray.config import CrawlConfig
+from scrupyst_ray.functions.fingerprint import fingerprint
 from scrupyst_ray.functions.hashing import hash_mod_batch
 from scrupyst_ray.stages.fetch import FetchParse, build_page_store
 from scrupyst_ray.stages.frontier import seeds_to_frontier
@@ -64,15 +66,31 @@ from scrupyst_ray.state.shard import (
 
 
 
-def _shard_gate_fn(actors: list, round_id: int, stats_dir: str | None = None):
-    """Build the per-shard-group gate function: within-round dedup (min
-    order_key wins — deterministic), then ONE StateShard RPC carrying only
-    the small columns.  Per-shard counters go to an idempotent sidecar JSON
-    (stable shard id) so round stats cost no extra dataset execution."""
+def _shard_gate_fn(
+    actors: list,
+    round_id: int,
+    stats_dir: str | None = None,
+    deferred_dir: str | None = None,
+):
+    """Build the per-shard-group gate function: within-round dedup (global
+    winner by (priority desc, order_key) — deterministic), lazy fingerprint
+    of the deduped survivors, then ONE StateShard RPC carrying only the small
+    columns.  Returns ADMITTED rows; DEFERRED rows are side-written straight
+    into next round's frontier directory (tmp+rename per stable shard id, so
+    both the sidecar stats and the deferred file are idempotent on task
+    retry) — the whole round is a single Ray Data execution.
+
+    Dedup runs in two passes: by URL string first (cheap, catches the bulk),
+    then by fingerprint over the survivors (catches canonically-equivalent
+    spellings).  The combined winner equals pure-fingerprint dedup because
+    URL-groups are subsets of fingerprint-groups.  Candidate rows arrive with
+    fp=b"" (stages/frontier.py computes it lazily); the gate fingerprints
+    only pass-1 survivors — once per unique URL instead of once per edge.
+    """
 
     def gate(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return group.append_column("gate_status", pa.array([], pa.int8()))
+            return group
         shard_id = group["shard"][0].as_py()
         # deterministic processing order: host, then priority desc, then FIFO
         group = group.take(
@@ -86,39 +104,48 @@ def _shard_gate_fn(actors: list, round_id: int, stats_dir: str | None = None):
             )
         )
         fps = group["fp"].to_pylist()
+        fp64 = group["fp64"].to_numpy(zero_copy_only=False).copy()
+        urls = group["url"].to_pylist()
+        hosts = group["host"].to_pylist()
         skip_seen = (
             pc.or_(group["dont_filter"], group["already_enqueued"])
             .to_numpy(zero_copy_only=False)
             .astype(bool)
         )
-        # within-round fp dedup: first (lowest order_key among equal priority
-        # ... we need global winner by (priority desc, order_key)); compute
-        # winner per fp among non-bypass rows.
         order_rank = pc.sort_indices(
             group,
             sort_keys=[("priority", "descending"), ("order_key", "ascending")],
         ).to_numpy(zero_copy_only=False)
-        rank_of_row = np.empty(len(order_rank), dtype=np.int64)
-        rank_of_row[order_rank] = np.arange(len(order_rank))
-        winner: dict[bytes, int] = {}
         n = group.num_rows
+        rank_of_row = np.empty(n, dtype=np.int64)
+        rank_of_row[order_rank] = np.arange(n)
         local_dup = np.zeros(n, dtype=bool)
-        for i in range(n):
-            if skip_seen[i]:
-                continue
-            fp = fps[i]
-            j = winner.get(fp)
-            if j is None or rank_of_row[i] < rank_of_row[j]:
-                if j is not None:
-                    local_dup[j] = True
-                winner[fp] = i
-            else:
-                local_dup[i] = True
+
+        def dedup_pass(keys) -> None:
+            winner: dict = {}
+            for i in range(n):
+                if skip_seen[i] or local_dup[i]:
+                    continue
+                k = keys[i]
+                j = winner.get(k)
+                if j is None or rank_of_row[i] < rank_of_row[j]:
+                    if j is not None:
+                        local_dup[j] = True
+                    winner[k] = i
+                else:
+                    local_dup[i] = True
+
+        dedup_pass(urls)
+        changed_fp = False
+        for i in np.flatnonzero(~local_dup):
+            if not fps[i]:
+                fp = fingerprint(urls[i], url_is_safe=True)
+                fps[i] = fp
+                fp64[i] = int.from_bytes(fp[:8], "big")
+                changed_fp = True
+        dedup_pass(fps)
 
         live = np.flatnonzero(~local_dup)
-        fp64 = group["fp64"].to_numpy(zero_copy_only=False)
-        hosts = group["host"].to_pylist()
-        urls = group["url"].to_pylist()
         decisions = ray.get(
             actors[shard_id].process.remote(
                 round_id,
@@ -131,6 +158,11 @@ def _shard_gate_fn(actors: list, round_id: int, stats_dir: str | None = None):
         )
         status = np.full(n, SEEN_DUP, dtype=np.int8)  # local dups = filtered
         status[live] = decisions
+        if changed_fp:
+            i_fp = group.column_names.index("fp")
+            group = group.set_column(i_fp, "fp", pa.array(fps, pa.binary()))
+            i64 = group.column_names.index("fp64")
+            group = group.set_column(i64, "fp64", pa.array(fp64, pa.uint64()))
         if stats_dir is not None:
             os.makedirs(stats_dir, exist_ok=True)
             counts = {
@@ -145,7 +177,22 @@ def _shard_gate_fn(actors: list, round_id: int, stats_dir: str | None = None):
             with open(path + ".tmp", "w") as f:
                 json.dump(counts, f)
             os.replace(path + ".tmp", path)
-        return group.append_column("gate_status", pa.array(status, pa.int8()))
+        if deferred_dir is None:
+            return group.append_column("gate_status", pa.array(status, pa.int8()))
+        deferred_mask = status == DEFERRED
+        if deferred_mask.any():
+            deferred = group.filter(pa.array(deferred_mask))
+            i_enq = deferred.column_names.index("already_enqueued")
+            deferred = deferred.set_column(
+                i_enq,
+                "already_enqueued",
+                pa.array(np.ones(deferred.num_rows, bool), pa.bool_()),
+            )
+            os.makedirs(deferred_dir, exist_ok=True)
+            dpath = os.path.join(deferred_dir, f"deferred-shard-{shard_id:05d}.parquet")
+            pq.write_table(deferred, dpath + ".tmp")
+            os.replace(dpath + ".tmp", dpath)
+        return group.filter(pa.array(status == ADMITTED))
 
     return gate
 
@@ -313,6 +360,11 @@ class CrawlEngine:
                 )
                 for k in range(cfg.seen_shards)
             ]
+            # warm the pool in parallel: actor PROCESS start is ~0.3-0.5 s
+            # and first-parquet-read init another ~0.3 s per actor; the
+            # first gate task would otherwise pay them serially (one
+            # blocking RPC per shard group)
+            ray.get([a.warm.remote() for a in self._actors])
         return self._actors
 
     def shutdown_actors(self) -> None:
@@ -404,15 +456,16 @@ class CrawlEngine:
         return total
 
     def _run_round(self, n: int, actors: list) -> RoundStats:
-        """One superstep in exactly TWO Ray Data executions:
+        """One superstep in ONE Ray Data execution:
 
-        1. gate   — groupby(shard) → StateShard RPCs → materialize,
-        2. expand — groupby(bucket) → fused fetch+parse+candidate-filter →
-                    ∪ deferred → write next frontier (streaming, html stays
-                    inside the fetch tasks).
+            read frontier → groupby(shard) → gate (dedup + lazy fingerprint +
+            StateShard RPC; side-writes DEFERRED rows straight into the next
+            frontier dir) → groupby(bucket) → fused fetch+parse+candidate-
+            filter → write next frontier.
 
-        All counters come from idempotent per-shard / per-bucket sidecar
-        files and parquet footers — zero bookkeeping executions.
+        Two metadata-only shuffles, html never leaves the fetch tasks.  All
+        counters come from idempotent per-shard / per-bucket sidecar files
+        and parquet footers — zero bookkeeping executions.
         """
         t0 = time.monotonic()
         cfg = self.cfg
@@ -420,30 +473,53 @@ class CrawlEngine:
         rdir = self._round_dir(n)
         gate_stats_dir = os.path.join(rdir, "gate_stats")
         fetched_dir = os.path.join(rdir, "fetched")
+        nf_dir = self._frontier_dir(n + 1)
+        if os.path.isdir(nf_dir):  # partial files from a killed attempt
+            shutil.rmtree(nf_dir)
         # Read the frontier into a BOUNDED number of blocks: the default
         # splitter shreds the many small per-task files into thousands of
-        # tiny blocks, and the groupby shuffle then pays per-block task
-        # overhead (measured 58s → 1.7s on a 750k-row frontier).  One block
-        # per shard, growing only when blocks would exceed ~200k rows.
+        # tiny blocks, and every downstream stage (sort sampling, map_groups,
+        # write) pays per-block task overhead (measured 58s → 1.7s on a
+        # 750k-row frontier; 58 tasks → ~11 on a 3k-row one).  Blocks scale
+        # with rows (~256 rows each — block count bounds the PARSE stage's
+        # parallelism too, so blocks must outnumber cores well before the
+        # frontier does), capped at one per shard and growing again only
+        # past ~200k rows per block.
         frontier_rows = _parquet_rows(self._frontier_dir(n))
-        num_blocks = max(cfg.seen_shards, frontier_rows // 200_000)
+        num_blocks = max(
+            1,
+            min(
+                max(cfg.seen_shards, frontier_rows // 200_000),
+                frontier_rows // 256 + 1,
+            ),
+        )
         frontier = ray.data.read_parquet(
             self._frontier_dir(n), override_num_blocks=num_blocks
         )
 
-        # 1. gate: shard-routed dedup + seen + robots + budget (ONE shuffle).
-        # num_partitions pinned to the shard count — the default would cut
-        # the tiny frontier metadata into hundreds of near-empty partitions
-        # (pure scheduling overhead per round).
-        t_gate = time.monotonic()
-        gated = (
-            frontier.groupby("shard", num_partitions=cfg.seen_shards)
+        # num_partitions capped by shard/bucket counts AND scaled down for
+        # small rounds — the default would cut the tiny frontier metadata
+        # into hundreds of near-empty partitions (pure task-scheduling
+        # overhead per round); map_groups still runs once per key, so shard
+        # determinism is unaffected by partition count.
+        gate_parts = max(1, min(cfg.seen_shards, frontier_rows // 4096))
+        fetch_parts = max(4, min(cfg.fetch_buckets, frontier_rows // 512))
+        store_dir = self.store_dir
+        t_exec = time.monotonic()
+        (
+            frontier.groupby("shard", num_partitions=gate_parts)
             .map_groups(
-                _shard_gate_fn(actors, n, gate_stats_dir), batch_format="pyarrow"
+                _shard_gate_fn(actors, n, gate_stats_dir, deferred_dir=nf_dir),
+                batch_format="pyarrow",
             )
-            .materialize()
+            .groupby("bucket", num_partitions=fetch_parts)
+            .map_groups(
+                lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
+                batch_format="pyarrow",
+            )
+            .write_parquet(nf_dir)
         )
-        stats.gate_s = round(time.monotonic() - t_gate, 2)
+        stats.expand_s = round(time.monotonic() - t_exec, 2)
         for fname in os.listdir(gate_stats_dir) if os.path.isdir(gate_stats_dir) else []:
             if fname.endswith(".json"):
                 with open(os.path.join(gate_stats_dir, fname)) as f:
@@ -454,65 +530,26 @@ class CrawlEngine:
                 stats.robots_forbidden += c["robots_forbidden"]
                 stats.dupefilter_filtered += c["dupefilter_filtered"]
 
-        # 2. expand: fetch+parse+filter fused per url-bucket, unioned with
-        # deferred rows, streamed straight into next round's frontier files.
-        def mark_enqueued(b: pa.Table) -> pa.Table:
-            idx = b.column_names.index("already_enqueued")
-            return b.set_column(
-                idx,
-                "already_enqueued",
-                pa.array(np.ones(b.num_rows, bool), pa.bool_()),
+        next_count = _parquet_rows(nf_dir) if os.path.isdir(nf_dir) else 0
+        if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
+            t_cap = time.monotonic()
+            # bound the next shuffle: global top-k by crawl order; the
+            # tail is dropped (re-discoverable via links) — SURVEY.md §4.2
+            capped = (
+                ray.data.read_parquet(nf_dir)
+                .sort(["priority", "order_key"], descending=[True, False])
+                .limit(cfg.max_round_candidates)
             )
-
-        store_dir = self.store_dir
-        parts = []
-        if stats.admitted:
-            parts.append(
-                gated.filter(expr="gate_status == 0")
-                .drop_columns(["gate_status"])
-                .groupby("bucket", num_partitions=cfg.fetch_buckets)
-                .map_groups(
-                    lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
-                    batch_format="pyarrow",
-                )
-            )
-        if stats.deferred:
-            parts.append(
-                gated.filter(expr="gate_status == 1")
-                .drop_columns(["gate_status"])
-                .map_batches(mark_enqueued, batch_format="pyarrow")
-            )
-
-        next_count = 0
-        t_expand = time.monotonic()
-        if parts:
-            nf_dir = self._frontier_dir(n + 1)
-            if os.path.isdir(nf_dir):  # partial files from a killed attempt
-                shutil.rmtree(nf_dir)
-            os.makedirs(nf_dir, exist_ok=True)
-            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-            ds.write_parquet(nf_dir)
-            next_count = _parquet_rows(nf_dir)
-            stats.expand_s = round(time.monotonic() - t_expand, 2)
-            if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
-                t_cap = time.monotonic()
-                # bound the next shuffle: global top-k by crawl order; the
-                # tail is dropped (re-discoverable via links) — SURVEY.md §4.2
-                capped = (
-                    ray.data.read_parquet(nf_dir)
-                    .sort(["priority", "order_key"], descending=[True, False])
-                    .limit(cfg.max_round_candidates)
-                )
-                tmp_dir = nf_dir + ".capped"
-                shutil.rmtree(tmp_dir, ignore_errors=True)
-                os.makedirs(tmp_dir)
-                capped.write_parquet(tmp_dir)
-                shutil.rmtree(nf_dir)
-                os.replace(tmp_dir, nf_dir)
-                next_count = cfg.max_round_candidates
-                stats.cap_s = round(time.monotonic() - t_cap, 2)
-            if next_count == 0:
-                shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
+            tmp_dir = nf_dir + ".capped"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir)
+            capped.write_parquet(tmp_dir)
+            shutil.rmtree(nf_dir)
+            os.replace(tmp_dir, nf_dir)
+            next_count = cfg.max_round_candidates
+            stats.cap_s = round(time.monotonic() - t_cap, 2)
+        if next_count == 0 and os.path.isdir(nf_dir):
+            shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
 
         # fetch / candidate counters from the bucket sidecars
         if os.path.isdir(fetched_dir):

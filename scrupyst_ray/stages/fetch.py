@@ -68,9 +68,12 @@ def build_page_store(
     """One-time corpus partitioning by url-hash bucket (idempotent).
 
     Reads only the columns the crawl needs (url, warc_ts, html — column
-    pruning at the read, never the oracle ``text`` column) and writes
-    ``store_dir/bucket=K/*.parquet`` via Ray Data's partitioned writer — a
-    single streaming pass over the corpus.
+    pruning at the read, never the oracle ``text`` column), hash-groups by
+    bucket and writes ``store_dir/bucket=K/*.parquet``.  The groupby is a
+    full corpus shuffle, but it runs ONCE per corpus (this pass IS the
+    design-scale partitioning step); the payoff is one compact fragment per
+    bucket instead of one per (input block × bucket), which makes the
+    per-round bucket probes O(1) file opens.
     """
     import ray
 
@@ -87,8 +90,22 @@ def build_page_store(
             batch = batch.drop_columns(["bucket"])
         return batch.append_column("bucket", pa.array(buckets, pa.int32()))
 
-    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        store_dir, partition_cols=["bucket"]
+    def write_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"bucket": [], "rows": []})
+        bucket = group["bucket"][0].as_py()
+        bdir = os.path.join(store_dir, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, "part-0.parquet")
+        pq.write_table(group.drop_columns(["bucket"]), path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table({"bucket": [bucket], "rows": [group.num_rows]})
+
+    (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_buckets)
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
     )
     with open(done + ".tmp", "w") as f:
         f.write(f"num_buckets={num_buckets}\n")

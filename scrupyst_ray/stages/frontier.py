@@ -84,6 +84,7 @@ def _frontier_columns(
     is_start: np.ndarray,
     cfg: CrawlConfig,
     compute_keys: bool = True,
+    compute_fp: bool = True,
 ) -> pa.Table:
     n = len(urls)
     fps: list[bytes] = [b""] * n
@@ -92,9 +93,13 @@ def _frontier_columns(
     bucket = np.zeros(n, dtype=np.int32)
     if compute_keys:  # skipped for dropped rows — they never reach a shard
         for i in range(n):
-            fp = fingerprint(urls[i], url_is_safe=True)
-            fps[i] = fp
-            fp64[i] = int.from_bytes(fp[:8], "big")
+            if compute_fp:
+                # candidates skip this (compute_fp=False): the gate computes
+                # fingerprints AFTER within-round URL dedup, so the expensive
+                # canonicalize+SHA1 runs once per unique URL, not per edge
+                fp = fingerprint(urls[i], url_is_safe=True)
+                fps[i] = fp
+                fp64[i] = int.from_bytes(fp[:8], "big")
             shard[i] = stable_hash64(hosts[i]) % cfg.seen_shards
             bucket[i] = stable_hash64(urls[i]) % cfg.fetch_buckets
     return pa.table(
@@ -205,6 +210,7 @@ def edges_to_candidates(batch: pa.Table, cfg: CrawlConfig) -> pa.Table:
         already_enqueued=np.zeros(len(keep_idx), bool),
         is_start=np.zeros(len(keep_idx), bool),
         cfg=cfg,
+        compute_fp=False,
     )
     # dropped rows travel with minimal columns so stats stay one groupby;
     # they are filtered out before the shard shuffle.
