@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referer_edges": webops.referer_edges,
         "sitemap_entries": webops.sitemap_entries,
         "followup_frontier": webops.followup_frontier,
+        "xmlfeed_nodes": webops.xmlfeed_nodes,
+        "csvfeed_rows": webops.csvfeed_rows,
         # -- multimodal plumbing (stubbed decode; real schema/actors) --
         "media_features": _q_media,
     }

@@ -85,6 +85,10 @@ def run_crawl_bench(
         seen_shards=32,
         fetch_buckets=64,
         concurrent_requests_per_domain=budget,
+        # headroom above the per-round candidate volume of the bench graph;
+        # the default 1M cap would otherwise add a full candidate sort+
+        # rewrite to EVERY big round of the 400-host corpus
+        max_round_candidates=4_000_000,
     )
     store_dir = os.path.join(
         "/tmp", f"scrupyst_store_H{H}_P{P}_s{show}_b{cfg.fetch_buckets}"
@@ -175,7 +179,7 @@ def single_run() -> dict:
 # compute dominates the per-round fixed overhead (~2 s of shuffle barriers /
 # stage startup) and the 8→32 CPU comparison measures scaling of WORK, not
 # of scheduler latency.
-_SCALING = {"H": 400, "P": 1000, "show": 20, "budget": 256, "rounds": 6}
+_SCALING = {"H": 800, "P": 1000, "show": 20, "budget": 256, "rounds": 6}
 
 
 def scaling_run() -> dict:

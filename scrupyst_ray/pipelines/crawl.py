@@ -23,7 +23,10 @@ Checkpoint layout (resume = reference JOBDIR contract,
     workdir/
       robots/shard=K.parquet          robots side-table, built once
       seen/shard=K/round=N.parquet    per-round fingerprint deltas
-      rounds/round-N/frontier/        frontier at the START of round N
+      rounds/round-N/frontier/candidates/  new-candidate rows (shuffled)
+      rounds/round-N/frontier/deferred/    per-shard deferred rows (read
+                                           directly by the owning shard's
+                                           gate task — never re-shuffled)
       rounds/round-N/fetched/         crawl artifact (bucket=K.parquet)
       rounds/round-N/MANIFEST.json    commit record — written LAST (atomic
                                       rename); a round without a manifest is
@@ -71,6 +74,7 @@ def _shard_gate_fn(
     round_id: int,
     stats_dir: str | None = None,
     deferred_dir: str | None = None,
+    deferred_in_dir: str | None = None,
 ):
     """Build the per-shard-group gate function: within-round dedup (global
     winner by (priority desc, order_key) — deterministic), lazy fingerprint
@@ -79,6 +83,14 @@ def _shard_gate_fn(
     into next round's frontier directory (tmp+rename per stable shard id, so
     both the sidecar stats and the deferred file are idempotent on task
     retry) — the whole round is a single Ray Data execution.
+
+    Deferred rows NEVER re-enter a shuffle: they were written per shard, and
+    the owning shard's gate task reads its file straight from
+    *deferred_in_dir* (task-side read, no exchange).  Only freshly-discovered
+    candidates — an order of magnitude fewer rows on a deep frontier — flow
+    through the groupby.  Rows with ``url == ""`` are ticklers the driver
+    unions in to guarantee a shard with deferred work gets a gate call even
+    when it has no new candidates; they are dropped here.
 
     Dedup runs in two passes: by URL string first (cheap, catches the bulk),
     then by fingerprint over the survivors (catches canonically-equivalent
@@ -92,6 +104,19 @@ def _shard_gate_fn(
         if group.num_rows == 0:
             return group
         shard_id = group["shard"][0].as_py()
+        mask = pc.not_equal(group["url"], "")
+        if not pc.all(mask).as_py():
+            group = group.filter(mask)  # drop driver ticklers
+        if deferred_in_dir is not None:
+            dpath = os.path.join(
+                deferred_in_dir, f"deferred-shard-{shard_id:05d}.parquet"
+            )
+            if os.path.exists(dpath):
+                group = pa.concat_tables(
+                    [group, pq.read_table(dpath)], promote_options="default"
+                )
+        if group.num_rows == 0:
+            return group
         # deterministic processing order: host, then priority desc, then FIFO
         group = group.take(
             pc.sort_indices(
@@ -381,6 +406,23 @@ class CrawlEngine:
     def _frontier_dir(self, n: int) -> str:
         return os.path.join(self._round_dir(n), "frontier")
 
+    def _candidates_dir(self, n: int) -> str:
+        """New-candidate rows — flow through the shard shuffle each round."""
+        return os.path.join(self._frontier_dir(n), "candidates")
+
+    def _deferred_dir(self, n: int) -> str:
+        """Per-shard deferred rows (over budget in round n-1) — read directly
+        by the owning shard's gate task, never shuffled again."""
+        return os.path.join(self._frontier_dir(n), "deferred")
+
+    def _frontier_rows(self, n: int) -> tuple[int, int]:
+        cand = self._candidates_dir(n)
+        deferred = self._deferred_dir(n)
+        return (
+            _parquet_rows(cand) if os.path.isdir(cand) else 0,
+            _parquet_rows(deferred) if os.path.isdir(deferred) else 0,
+        )
+
     def _manifest_path(self, n: int) -> str:
         return os.path.join(self._round_dir(n), "MANIFEST.json")
 
@@ -397,7 +439,7 @@ class CrawlEngine:
     def init_frontier(self, seeds_path: str) -> None:
         """Round-0 frontier from the seed list (idempotent: skipped if round
         0's frontier already exists)."""
-        fdir = self._frontier_dir(0)
+        fdir = self._candidates_dir(0)
         if os.path.isdir(fdir) and os.listdir(fdir):
             return
         cfg = self.cfg
@@ -436,8 +478,7 @@ class CrawlEngine:
             if cfg.closespider_pagecount and total_fetched >= cfg.closespider_pagecount:
                 stopped = "closespider_pagecount"
                 break
-            fdir = self._frontier_dir(n)
-            if not (os.path.isdir(fdir) and os.listdir(fdir)):
+            if sum(self._frontier_rows(n)) == 0:
                 stopped = "frontier_empty"
                 break
             stats = self._run_round(n, actors)
@@ -476,7 +517,19 @@ class CrawlEngine:
         nf_dir = self._frontier_dir(n + 1)
         if os.path.isdir(nf_dir):  # partial files from a killed attempt
             shutil.rmtree(nf_dir)
-        # Read the frontier into a BOUNDED number of blocks: the default
+        # Only NEW candidates flow through the shard shuffle; deferred rows
+        # are already partitioned by shard from the previous round and the
+        # owning gate task reads its file directly.  Ticklers (one empty-url
+        # row per shard holding deferred work) guarantee every such shard
+        # gets a gate call even with zero new candidates.
+        cand_rows, def_rows = self._frontier_rows(n)
+        def_dir = self._deferred_dir(n)
+        tickler_shards = []
+        if os.path.isdir(def_dir):
+            for fname in sorted(os.listdir(def_dir)):
+                if fname.startswith("deferred-shard-") and fname.endswith(".parquet"):
+                    tickler_shards.append(int(fname[len("deferred-shard-") : -8]))
+        # Read the candidates into a BOUNDED number of blocks: the default
         # splitter shreds the many small per-task files into thousands of
         # tiny blocks, and every downstream stage (sort sampling, map_groups,
         # write) pays per-block task overhead (measured 58s → 1.7s on a
@@ -485,31 +538,64 @@ class CrawlEngine:
         # parallelism too, so blocks must outnumber cores well before the
         # frontier does), capped at one per shard and growing again only
         # past ~200k rows per block.
-        frontier_rows = _parquet_rows(self._frontier_dir(n))
+        total_rows = cand_rows + def_rows
         num_blocks = max(
             1,
             min(
-                max(cfg.seen_shards, frontier_rows // 200_000),
-                frontier_rows // 256 + 1,
+                max(cfg.seen_shards, cand_rows // 200_000),
+                cand_rows // 256 + 1,
             ),
         )
-        frontier = ray.data.read_parquet(
-            self._frontier_dir(n), override_num_blocks=num_blocks
-        )
+        parts = []
+        if cand_rows:
+            parts.append(
+                ray.data.read_parquet(
+                    self._candidates_dir(n), override_num_blocks=num_blocks
+                )
+            )
+        if tickler_shards:
+            from scrupyst_ray.stages.frontier import FRONTIER_SCHEMA
+
+            k = len(tickler_shards)
+            ticklers = pa.table(
+                {
+                    "url": [""] * k,
+                    "host": [""] * k,
+                    "depth": pa.array([0] * k, pa.int32()),
+                    "priority": pa.array([0] * k, pa.int64()),
+                    "order_key": pa.array([b""] * k, pa.binary()),
+                    "dont_filter": [False] * k,
+                    "already_enqueued": [False] * k,
+                    "is_start": [False] * k,
+                    "fp": pa.array([b""] * k, pa.binary()),
+                    "fp64": pa.array([0] * k, pa.uint64()),
+                    "shard": pa.array(tickler_shards, pa.int32()),
+                    "bucket": pa.array([0] * k, pa.int32()),
+                },
+                schema=FRONTIER_SCHEMA,
+            )
+            parts.append(ray.data.from_arrow(ticklers))
+        frontier = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
         # num_partitions capped by shard/bucket counts AND scaled down for
         # small rounds — the default would cut the tiny frontier metadata
         # into hundreds of near-empty partitions (pure task-scheduling
         # overhead per round); map_groups still runs once per key, so shard
         # determinism is unaffected by partition count.
-        gate_parts = max(1, min(cfg.seen_shards, frontier_rows // 4096))
-        fetch_parts = max(4, min(cfg.fetch_buckets, frontier_rows // 512))
+        gate_parts = max(1, min(cfg.seen_shards, total_rows // 4096))
+        fetch_parts = max(4, min(cfg.fetch_buckets, total_rows // 512))
         store_dir = self.store_dir
         t_exec = time.monotonic()
         (
             frontier.groupby("shard", num_partitions=gate_parts)
             .map_groups(
-                _shard_gate_fn(actors, n, gate_stats_dir, deferred_dir=nf_dir),
+                _shard_gate_fn(
+                    actors,
+                    n,
+                    gate_stats_dir,
+                    deferred_dir=os.path.join(nf_dir, "deferred"),
+                    deferred_in_dir=def_dir if def_rows else None,
+                ),
                 batch_format="pyarrow",
             )
             .groupby("bucket", num_partitions=fetch_parts)
@@ -517,7 +603,7 @@ class CrawlEngine:
                 lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
                 batch_format="pyarrow",
             )
-            .write_parquet(nf_dir)
+            .write_parquet(os.path.join(nf_dir, "candidates"))
         )
         stats.expand_s = round(time.monotonic() - t_exec, 2)
         for fname in os.listdir(gate_stats_dir) if os.path.isdir(gate_stats_dir) else []:
@@ -530,24 +616,29 @@ class CrawlEngine:
                 stats.robots_forbidden += c["robots_forbidden"]
                 stats.dupefilter_filtered += c["dupefilter_filtered"]
 
-        next_count = _parquet_rows(nf_dir) if os.path.isdir(nf_dir) else 0
-        if cfg.max_round_candidates and next_count > cfg.max_round_candidates:
+        next_cand, next_def = self._frontier_rows(n + 1)
+        if cfg.max_round_candidates and next_cand > cfg.max_round_candidates:
             t_cap = time.monotonic()
-            # bound the next shuffle: global top-k by crawl order; the
-            # tail is dropped (re-discoverable via links) — SURVEY.md §4.2
+            # bound the next shuffle: global top-k of the NEW candidates by
+            # crawl order; the tail is dropped (re-discoverable via links) —
+            # SURVEY.md §4.2.  Deferred rows are never capped: their
+            # fingerprints are already recorded in the seen set, so dropping
+            # one would lose the URL forever.
+            nc_dir = self._candidates_dir(n + 1)
             capped = (
-                ray.data.read_parquet(nf_dir)
+                ray.data.read_parquet(nc_dir)
                 .sort(["priority", "order_key"], descending=[True, False])
                 .limit(cfg.max_round_candidates)
             )
-            tmp_dir = nf_dir + ".capped"
+            tmp_dir = nc_dir + ".capped"
             shutil.rmtree(tmp_dir, ignore_errors=True)
             os.makedirs(tmp_dir)
             capped.write_parquet(tmp_dir)
-            shutil.rmtree(nf_dir)
-            os.replace(tmp_dir, nf_dir)
-            next_count = cfg.max_round_candidates
+            shutil.rmtree(nc_dir)
+            os.replace(tmp_dir, nc_dir)
+            next_cand = cfg.max_round_candidates
             stats.cap_s = round(time.monotonic() - t_cap, 2)
+        next_count = next_cand + next_def
         if next_count == 0 and os.path.isdir(nf_dir):
             shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
 

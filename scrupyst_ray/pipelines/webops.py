@@ -133,6 +133,56 @@ def sitemap_entries(sf_dir: str):
     return ds.map_batches(sitemap_batch, batch_format="pyarrow").sort(["src", "loc"])
 
 
+def xmlfeed_nodes(sf_dir: str):
+    """M16 xmliter: deterministic per-host RSS-like feeds (items built from
+    the corpus page list) exploded into one row per ``<item>`` node."""
+    from scrupyst_ray.functions.feediter import xmliter_batch
+
+    urls, bodies = [], []
+    for h in range(_H):
+        items = "".join(
+            f"<item><title>host {h} page {n}</title><link>{page_url(h, n)}</link></item>"
+            for n in range(1, _P + 1, 5)
+        )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f'<rss version="2.0"><channel><title>host {h}</title>{items}</channel></rss>'
+        ).encode()
+        urls.append(f"http://{host_name(h)}/feed.xml")
+        bodies.append(xml)
+    ds = ray.data.from_arrow(pa.table({"url": urls, "html": pa.array(bodies, pa.binary())}))
+    return ds.map_batches(
+        lambda b: xmliter_batch(b, "item"), batch_format="pyarrow"
+    ).sort(["src", "node_idx"])
+
+
+def csvfeed_rows(sf_dir: str):
+    """M16 csviter: deterministic per-host CSV feeds parsed into records
+    (header row + quoted fields, exercising the csv dialect path)."""
+    from scrupyst_ray.functions.feediter import csviter
+
+    urls, bodies = [], []
+    for h in range(_H):
+        lines = ["n,url,title"]
+        lines += [
+            f'{n},{page_url(h, n)},"host {h}, page {n}"' for n in range(1, _P + 1, 5)
+        ]
+        urls.append(f"http://{host_name(h)}/feed.csv")
+        bodies.append("\n".join(lines).encode())
+    ds = ray.data.from_arrow(pa.table({"url": urls, "html": pa.array(bodies, pa.binary())}))
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts, srcs = [], []
+        for url, body in zip(b["url"].to_pylist(), b["html"].to_pylist()):
+            t = csviter(body)
+            srcs.extend([url] * t.num_rows)
+            parts.append(t)
+        merged = pa.concat_tables(parts)
+        return merged.add_column(0, "src", pa.array(srcs, pa.string()))
+
+    return ds.map_batches(explode, batch_format="pyarrow").sort(["src", "n"])
+
+
 def followup_frontier(sf_dir: str):
     """M9/M10 redirect+retry re-emission: synthetic per-url statuses (3xx
     with Location, retryable 5xx, plain 200) derived deterministically from

@@ -39,6 +39,19 @@ class TestWebopsQueries:
         assert any(s.endswith(".xml.gz") for s in srcs)
         assert any(s.endswith(".xml") for s in srcs)
 
+    def test_xmlfeed_nodes(self):
+        t = webops.xmlfeed_nodes(SF).take_all()
+        assert len(t) == 8 * 10  # _H hosts x ceil(_P/5) items
+        r = t[0]
+        assert r["node_xml"].startswith("<item>") and "page" in r["node_text"]
+
+    def test_csvfeed_rows(self):
+        t = webops.csvfeed_rows(SF).take_all()
+        assert len(t) == 8 * 10
+        r = t[0]
+        assert set(r) == {"src", "n", "url", "title"}
+        assert ", page " in r["title"]  # quoted field with embedded comma
+
     def test_followup_frontier(self):
         t = webops.followup_frontier(SF).take_all()
         assert len(t) > 0
