@@ -82,7 +82,10 @@ def run_crawl_bench(
     ).materialize()
 
     cfg = CrawlConfig(
-        seen_shards=32,
+        # 2 state shards per core: gate groups (= shards) bound the block
+        # count every downstream stage inherits, and ~2 tasks/core lets the
+        # scheduler backfill around stragglers (VM vCPU jitter is real)
+        seen_shards=64,
         fetch_buckets=64,
         concurrent_requests_per_domain=budget,
         # headroom above the per-round candidate volume of the bench graph;

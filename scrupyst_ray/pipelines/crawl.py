@@ -67,6 +67,10 @@ from scrupyst_ray.state.shard import (
     StateShard,
 )
 
+# sub-splits per store bucket for the fetch-stage routing key (see
+# _shard_gate_fn: balances the low-cardinality bucket groupby)
+FETCH_SPLIT = 8
+
 
 
 def _shard_gate_fn(
@@ -217,7 +221,22 @@ def _shard_gate_fn(
             dpath = os.path.join(deferred_dir, f"deferred-shard-{shard_id:05d}.parquet")
             pq.write_table(deferred, dpath + ".tmp")
             os.replace(dpath + ".tmp", dpath)
-        return group.filter(pa.array(status == ADMITTED))
+        admitted = group.filter(pa.array(status == ADMITTED))
+        # fetch routing key: sub-split each store bucket FETCH_SPLIT ways
+        # (bucket is only 64-ary; range-partitioning so few distinct values
+        # across ~32 blocks is lumpy — measured 3.3s..10.9s fetch-task skew.
+        # 512 groups hash-balance across tasks; key // FETCH_SPLIT is still
+        # the store bucket, so probe locality is unchanged.)
+        fetch_key = pc.add(
+            pc.multiply(admitted["bucket"], FETCH_SPLIT),
+            pc.cast(
+                pc.bit_wise_and(
+                    admitted["fp64"], pa.scalar(FETCH_SPLIT - 1, pa.uint64())
+                ),
+                pa.int32(),
+            ),
+        )
+        return admitted.append_column("fetch_key", pc.cast(fetch_key, pa.int32()))
 
     return gate
 
@@ -598,7 +617,7 @@ class CrawlEngine:
                 ),
                 batch_format="pyarrow",
             )
-            .groupby("bucket", num_partitions=fetch_parts)
+            .groupby("fetch_key", num_partitions=fetch_parts)
             .map_groups(
                 lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
                 batch_format="pyarrow",

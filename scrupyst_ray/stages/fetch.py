@@ -113,6 +113,23 @@ def build_page_store(
     return store_dir
 
 
+_ARROW_POOL_CAPPED = False
+
+
+def _cap_arrow_threads() -> None:
+    """Pin this worker's Arrow pools to 1 compute / 2 IO threads.
+
+    Each Ray task worker gets 1 CPU, but pyarrow's global pool defaults to
+    os.cpu_count() threads PER PROCESS — 32 concurrent fetch tasks × 32
+    parquet-decode threads oversubscribes the node ~32× and shows up as a
+    2.3s..15.9s wall-time spread between identical tasks."""
+    global _ARROW_POOL_CAPPED
+    if not _ARROW_POOL_CAPPED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _ARROW_POOL_CAPPED = True
+
+
 def _read_bucket_pages(store_dir: str, bucket: int, urls: list[str]) -> pa.Table:
     """Scan one bucket's fragments with an ``url ∈ urls`` pushdown filter."""
     bucket_dir = os.path.join(store_dir, f"bucket={bucket}")
@@ -135,9 +152,12 @@ class FetchParse:
     (``stages.frontier.edges_to_candidates``), and side-writes two artifacts
     keyed by the stable bucket id (idempotent tmp+rename, retry-safe):
 
-    - ``fetched/bucket=K.parquet`` — the crawl-order artifact rows,
-    - ``fetched/bucket=K.stats.json`` — counters (fetched/miss/edges/drops),
+    - ``fetched/part-K.parquet`` — the crawl-order artifact rows,
+    - ``fetched/part-K.stats.json`` — counters (fetched/miss/edges/drops),
       so per-round stats cost zero extra Ray Data executions.
+      K is the group's routing key: ``fetch_key`` (a FETCH_SPLIT-way
+      sub-split of the store bucket, see pipelines/crawl.py) when present,
+      else the bare bucket.
 
     Returns the KEPT candidate frontier rows (html and dropped candidates
     never leave the task).
@@ -156,6 +176,7 @@ class FetchParse:
         self.cfg = cfg or CrawlConfig()
         self.extractor = LinkExtractorConfig()
         os.makedirs(fetched_dir, exist_ok=True)
+        _cap_arrow_threads()
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from scrupyst_ray.stages.frontier import (
@@ -170,6 +191,11 @@ class FetchParse:
                 {k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
             )
         bucket = group["bucket"][0].as_py()
+        part_key = (
+            group["fetch_key"][0].as_py()
+            if "fetch_key" in group.column_names
+            else bucket
+        )
         urls = group["url"].to_pylist()
         pages = _read_bucket_pages(self.store_dir, bucket, urls)
         joined = group.join(pages, keys="url", join_type="left outer")
@@ -225,7 +251,7 @@ class FetchParse:
             },
             schema=FETCHED_SCHEMA,
         )
-        out_path = os.path.join(self.fetched_dir, f"bucket={bucket:06d}.parquet")
+        out_path = os.path.join(self.fetched_dir, f"part-{part_key:06d}.parquet")
         pq.write_table(fetched, out_path + ".tmp")
         os.replace(out_path + ".tmp", out_path)  # idempotent on task retry
 
@@ -256,7 +282,7 @@ class FetchParse:
             "kept": int(kept.num_rows),
             "drops": drops,
         }
-        sc_path = os.path.join(self.fetched_dir, f"bucket={bucket:06d}.stats.json")
+        sc_path = os.path.join(self.fetched_dir, f"part-{part_key:06d}.stats.json")
         with open(sc_path + ".tmp", "w") as f:
             json.dump(stats, f)
         os.replace(sc_path + ".tmp", sc_path)
