@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -43,7 +44,7 @@ def run_crawl_bench(
     workdir_tag: str = "",
     H: int | None = None,
     P: int | None = None,
-    show: int = 3,
+    show: int = 20,  # the reference benchserver links 20 pages per page
     budget: int = 128,
     rounds: int = 12,
 ) -> dict:
@@ -82,10 +83,7 @@ def run_crawl_bench(
     ).materialize()
 
     cfg = CrawlConfig(
-        # 2 state shards per core: gate groups (= shards) bound the block
-        # count every downstream stage inherits, and ~2 tasks/core lets the
-        # scheduler backfill around stragglers (VM vCPU jitter is real)
-        seen_shards=64,
+        seen_shards=32,
         fetch_buckets=64,
         concurrent_requests_per_domain=budget,
         # headroom above the per-round candidate volume of the bench graph;
@@ -197,8 +195,15 @@ def scaling_run() -> dict:
             GRAFT_SF_DIR=SF_DIR,
             SCRUPYST_SCALING="1",
         )
+        # pin the whole process tree (workers, state actors, raylet) to
+        # `cpus` PHYSICAL cores — with only Ray's logical num_cpus limit,
+        # the "small cluster" leg's actors would ride free on the other
+        # idle cores and skew the comparison
+        cmd = [sys.executable, os.path.abspath(__file__), "--crawl-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--crawl-only"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -264,7 +264,6 @@ class RoundStats:
     candidates_kept: int = 0
     candidate_drops: dict = field(default_factory=dict)
     wall_s: float = 0.0
-    gate_s: float = 0.0
     expand_s: float = 0.0
     cap_s: float = 0.0
     checkpoint_s: float = 0.0
@@ -676,7 +675,7 @@ class CrawlEngine:
                         )
         stats.candidates_kept = next_count
 
-        # 5. checkpoint seen deltas, then commit the manifest (atomic, LAST)
+        # checkpoint seen deltas, then commit the manifest (atomic, LAST)
         t_ckpt = time.monotonic()
         ray.get([a.checkpoint.remote(self.seen_dir, n) for a in actors])
         stats.checkpoint_s = round(time.monotonic() - t_ckpt, 2)

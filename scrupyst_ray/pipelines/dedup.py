@@ -29,7 +29,6 @@ import ray.data
 from scrupyst_ray.functions.dedup import (
     MinHasher,
     band_keys,
-    hamming64,
     shingle_hashes,
     simhash64,
     simhash_band_keys,
@@ -121,13 +120,12 @@ def minhash_pairs(
         )
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
-        ids = sorted(g["doc_id"].to_pylist())
-        a, b = [], []
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        a: np.ndarray | list = []
+        b: np.ndarray | list = []
         if 1 < len(ids) <= 1000:  # cap pathological buckets (logged upstream)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
+            iu, ju = np.triu_indices(len(ids), 1)
+            a, b = ids[iu], ids[ju]
         return pa.table(
             {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
         )
@@ -210,17 +208,28 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             }
         )
 
+    _POP = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
     def pairs_of_group(g: pa.Table) -> pa.Table:
-        rows = sorted(zip(g["doc_id"].to_pylist(), g["sig"].to_pylist()))
-        a, b, d = [], [], []
-        if 1 < len(rows) <= 1000:
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    dist = int(hamming64(rows[i][1], rows[j][1]))
-                    if dist <= max_hamming and rows[i][0] != rows[j][0]:
-                        a.append(rows[i][0])
-                        b.append(rows[j][0])
-                        d.append(dist)
+        """Vectorized all-pairs hamming within one LSH bucket: XOR outer
+        product + byte-wise popcount table (a 1000-row bucket = 1M uint64
+        XORs ≈ 20 ms, vs ~2 s for the equivalent Python loop)."""
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sig = g["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids, sig = ids[order], sig[order]
+        n = len(ids)
+        a: np.ndarray | list = []
+        b: np.ndarray | list = []
+        d: np.ndarray | list = []
+        if 1 < n <= 1000:  # cap pathological buckets
+            xor = sig[:, None] ^ sig[None, :]
+            dist = _POP[xor.view(np.uint8).reshape(n, n, 8)].sum(
+                axis=2, dtype=np.int64
+            )
+            iu, ju = np.triu_indices(n, 1)
+            keep = (dist[iu, ju] <= max_hamming) & (ids[iu] != ids[ju])
+            a, b, d = ids[iu[keep]], ids[ju[keep]], dist[iu, ju][keep]
         return pa.table(
             {
                 "a": pa.array(a, pa.int64()),
