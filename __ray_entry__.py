@@ -272,6 +272,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
         """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   printf('%.4f', list_cosine_similarity(a.v, b.v)) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY a, b
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    printf('%.4f', CAST(list_cosine_similarity(

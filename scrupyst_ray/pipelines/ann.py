@@ -209,12 +209,13 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35):
                 if ids[r] < corpus_ids[h]:
                     a_out.append(int(ids[r]))
                     b_out.append(int(corpus_ids[h]))
-                    c_out.append(round(float(sims[r, h]), 4))
+                    # fixed-decimal string: duckdb printf parity (oracle_sql)
+                    c_out.append(f"{float(sims[r, h]):.4f}")
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
                 "b": pa.array(b_out, pa.int64()),
-                "cos": pa.array(c_out, pa.float64()),
+                "cos": pa.array(c_out, pa.string()),
             }
         )
 

@@ -88,7 +88,7 @@ class TestANN:
 
         p = embedding_neardup_pairs(SF, threshold=0.35).to_pandas()
         assert (p.a < p.b).all()
-        assert (p.cos >= 0.35).all()
+        assert (p.cos.astype(float) >= 0.35).all()
 
 
 @pytest.mark.usefixtures("ray_session")
