@@ -33,6 +33,21 @@ class CrawlConfig:
     # follow rel=nofollow edges? (the reference LinkExtractor keeps them
     # flagged; following is spider policy — default off for a polite crawler)
     follow_nofollow: bool = False
+    # per-slot overrides, reference DOWNLOAD_SLOTS
+    # (core/downloader/__init__.py:131-133,148-167):
+    #   {host: {"delay": float, "concurrency": int}}
+    download_slots: dict = field(default_factory=dict)
+    # AutoThrottle (ST5, extensions/throttle.py:21-129): adaptive per-host
+    # delay from observed latency; superstep analog applies one adjustment
+    # per (host, round) from the round's mean latency (state/throttle.py)
+    autothrottle_enabled: bool = False
+    autothrottle_start_delay: float = 5.0  # AUTOTHROTTLE_START_DELAY
+    autothrottle_max_delay: float = 60.0  # AUTOTHROTTLE_MAX_DELAY
+    autothrottle_target_concurrency: float = 1.0
+    # corpus replay has no network latency; the engine feeds the throttle a
+    # deterministic proxy latency = html_bytes / this bandwidth (bytes/s).
+    # On a live cluster, replace with measured per-fetch wall time.
+    autothrottle_sim_bandwidth: float = 1_000_000.0
     # stop conditions (extensions/closespider.py:37-150)
     closespider_pagecount: int = 0  # 0 = unlimited
     max_rounds: int = 0  # 0 = until frontier empty

@@ -56,7 +56,7 @@ import ray
 
 from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.fingerprint import fingerprint
-from scrupyst_ray.functions.hashing import hash_mod_batch
+from scrupyst_ray.functions.hashing import hash_mod_batch, stable_hash64
 from scrupyst_ray.stages.fetch import FetchParse, build_page_store
 from scrupyst_ray.stages.frontier import seeds_to_frontier
 from scrupyst_ray.state.shard import (
@@ -400,6 +400,16 @@ class CrawlEngine:
                     robots_path=os.path.join(
                         self.robots_dir, f"shard={k:05d}.parquet"
                     ),
+                    download_slots=cfg.download_slots or None,
+                    throttle_config=(
+                        {
+                            "start_delay": cfg.autothrottle_start_delay,
+                            "max_delay": cfg.autothrottle_max_delay,
+                            "target_concurrency": cfg.autothrottle_target_concurrency,
+                        }
+                        if cfg.autothrottle_enabled
+                        else None
+                    ),
                 )
                 for k in range(cfg.seen_shards)
             ]
@@ -661,6 +671,7 @@ class CrawlEngine:
             shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
 
         # fetch / candidate counters from the bucket sidecars
+        host_obs: dict[str, list[int]] = {}
         if os.path.isdir(fetched_dir):
             for fname in os.listdir(fetched_dir):
                 if fname.endswith(".stats.json"):
@@ -673,7 +684,34 @@ class CrawlEngine:
                         stats.candidate_drops[reason] = (
                             stats.candidate_drops.get(reason, 0) + cnt
                         )
+                    for host, ob in c.get("host_obs", {}).items():
+                        tot = host_obs.setdefault(host, [0, 0, 0])
+                        tot[0] += ob[0]
+                        tot[1] += ob[1]
+                        tot[2] += ob[2]
         stats.candidates_kept = next_count
+
+        if cfg.autothrottle_enabled and host_obs:
+            # AutoThrottle feedback (ST5): convert the round's per-host byte
+            # counts to the deterministic proxy latency and push one
+            # observation batch to each host's owning shard BEFORE the
+            # checkpoint, so the adjusted delays are part of round n's
+            # committed state (kill-resume identity)
+            bw = cfg.autothrottle_sim_bandwidth
+            per_shard: dict[int, list] = {}
+            for host in sorted(host_obs):
+                sum_bytes, n_fetch, n_ok = host_obs[host]
+                k = stable_hash64(host) % cfg.seen_shards
+                dest = per_shard.setdefault(k, [[], [], []])
+                dest[0].append(host)
+                dest[1].append(sum_bytes / (n_fetch * bw))
+                dest[2].append(n_ok == n_fetch)
+            ray.get(
+                [
+                    actors[k].observe_round.remote(n, h, lat, ok)
+                    for k, (h, lat, ok) in per_shard.items()
+                ]
+            )
 
         # checkpoint seen deltas, then commit the manifest (atomic, LAST)
         t_ckpt = time.monotonic()

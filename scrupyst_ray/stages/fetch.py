@@ -282,6 +282,19 @@ class FetchParse:
             "kept": int(kept.num_rows),
             "drops": drops,
         }
+        if self.cfg.autothrottle_enabled:
+            # per-host observations for the AutoThrottle feedback loop (ST5):
+            # host -> [sum_html_bytes, n_fetches, n_ok]; the engine converts
+            # bytes to a deterministic proxy latency (config
+            # autothrottle_sim_bandwidth) and feeds the owning state shard
+            host_obs: dict[str, list[int]] = {}
+            for i in range(n):
+                ob = host_obs.setdefault(hosts[i], [0, 0, 0])
+                ob[1] += 1
+                if htmls[i] is not None:
+                    ob[0] += len(htmls[i])
+                    ob[2] += 1
+            stats["host_obs"] = host_obs
         sc_path = os.path.join(self.fetched_dir, f"part-{part_key:06d}.stats.json")
         with open(sc_path + ".tmp", "w") as f:
             json.dump(stats, f)

@@ -48,6 +48,8 @@ class PolitenessState:
         download_delay: float = 0.0,
         round_seconds: float = 8.0,
         robotstxt_obey: bool = True,
+        download_slots: dict | None = None,
+        throttle=None,
     ):
         self.shard_id = shard_id
         self.user_agent = user_agent
@@ -55,6 +57,13 @@ class PolitenessState:
         self.download_delay = download_delay
         self.round_seconds = round_seconds
         self.robotstxt_obey = robotstxt_obey
+        # per-slot overrides {host: {"delay", "concurrency"}} — reference
+        # DOWNLOAD_SLOTS (core/downloader/__init__.py:131-133,148-167)
+        self.download_slots = download_slots or {}
+        # optional AutoThrottleState (ST5): when set, its adaptive per-host
+        # delay REPLACES the static delay, exactly as the reference throttle
+        # mutates slot.delay in place (extensions/throttle.py:104-129)
+        self.throttle = throttle
         self._robots_bodies: dict[str, bytes | None] = {}  # host -> raw body
         self._robots_cache: dict[str, RobotsRules] = {}  # host -> parsed (lazy)
         self._round_cache: dict[int, np.ndarray] = {}  # round -> decision vector
@@ -77,14 +86,18 @@ class PolitenessState:
         return rules
 
     def _budget_for(self, host: str) -> int:
-        delay = self.download_delay
+        slot = self.download_slots.get(host, {})
+        delay = slot.get("delay", self.download_delay)
+        concurrency = slot.get("concurrency", self.per_domain_budget)
+        if self.throttle is not None:
+            delay = self.throttle.delay_for(host)
         if self.robotstxt_obey:
             cd = self._rules_for(host).crawl_delay(self.user_agent)
             if cd is not None:
                 delay = max(delay, cd)
         if delay > 0:
             return max(1, int(self.round_seconds / delay))
-        return self.per_domain_budget
+        return concurrency
 
     # -- admission ----------------------------------------------------------
 

@@ -38,6 +38,7 @@ from scrupyst_ray.state.politeness import (
     PolitenessState,
 )
 from scrupyst_ray.state.seen import SeenState
+from scrupyst_ray.state.throttle import AutoThrottleState
 
 SEEN_DUP = 3  # status code for dupefilter-filtered rows
 
@@ -56,9 +57,19 @@ class _StateShard:
         robotstxt_obey: bool = True,
         bloom_capacity: int = 1 << 20,
         robots_path: str | None = None,
+        download_slots: dict | None = None,
+        throttle_config: dict | None = None,
     ):
         self.shard_id = shard_id
         self.seen = SeenState(shard_id, bloom_capacity=bloom_capacity)
+        # AutoThrottle (ST5): enabled by passing {"start_delay", "max_delay",
+        # "target_concurrency"}; min delay is the static download_delay
+        # (reference extensions/throttle.py:50-56)
+        self.throttle = None
+        if throttle_config is not None:
+            self.throttle = AutoThrottleState(
+                min_delay=download_delay, **throttle_config
+            )
         self.politeness = PolitenessState(
             shard_id,
             user_agent=user_agent,
@@ -66,6 +77,8 @@ class _StateShard:
             download_delay=download_delay,
             round_seconds=round_seconds,
             robotstxt_obey=robotstxt_obey,
+            download_slots=download_slots,
+            throttle=self.throttle,
         )
         self._robots_path = robots_path
         self._robots_loaded = False
@@ -128,26 +141,51 @@ class _StateShard:
             out[live_idx] = decisions
         return out
 
+    def observe_round(
+        self,
+        round_id: int,
+        hosts: list[str],
+        mean_latencies: list[float],
+        oks: list[bool],
+    ) -> None:
+        """Feed the round's per-host latency observations to the throttle
+        (no-op when AutoThrottle is disabled; idempotent per round)."""
+        if self.throttle is not None:
+            self.throttle.observe_round(round_id, hosts, mean_latencies, oks)
+
     def checkpoint(self, seen_dir: str, round_id: int) -> int:
-        """Flush this round's seen delta → ``seen_dir/shard=K/round=N.parquet``."""
-        path = os.path.join(
-            seen_dir, f"shard={self.shard_id:05d}", f"round={round_id:06d}.parquet"
+        """Flush this round's seen delta → ``seen_dir/shard=K/round=N.parquet``
+        (plus a full throttle-delay snapshot when AutoThrottle is on)."""
+        shard_dir = os.path.join(seen_dir, f"shard={self.shard_id:05d}")
+        if self.throttle is not None:
+            self.throttle.snapshot(
+                os.path.join(shard_dir, f"throttle={round_id:06d}.parquet")
+            )
+        return self.seen.flush_delta(
+            os.path.join(shard_dir, f"round={round_id:06d}.parquet")
         )
-        return self.seen.flush_delta(path)
 
     def restore(self, seen_dir: str, upto_round: int) -> int:
         """Reload all committed deltas for this shard (resume path)."""
         shard_dir = os.path.join(seen_dir, f"shard={self.shard_id:05d}")
         loaded = 0
+        throttle_snap = None
         if os.path.isdir(shard_dir):
             for name in sorted(os.listdir(shard_dir)):
                 if not name.endswith(".parquet"):
+                    continue
+                if name.startswith("throttle="):
+                    rnd = int(name[len("throttle=") : -len(".parquet")])
+                    if rnd <= upto_round:
+                        throttle_snap = os.path.join(shard_dir, name)
                     continue
                 rnd = int(name[len("round=") : -len(".parquet")])
                 if rnd <= upto_round:
                     loaded += self.seen.load_delta(
                         os.path.join(shard_dir, name), rnd
                     )
+        if self.throttle is not None and throttle_snap is not None:
+            self.throttle.restore(throttle_snap)  # snapshots are cumulative
         return loaded
 
     def stats(self) -> dict:

@@ -40,7 +40,7 @@ def _engine_seen_fps(workdir: str) -> set[bytes]:
     for shard in os.listdir(seen_dir):
         sdir = os.path.join(seen_dir, shard)
         for f in os.listdir(sdir):
-            if f.endswith(".parquet"):
+            if f.startswith("round=") and f.endswith(".parquet"):
                 fps.update(pq.read_table(os.path.join(sdir, f))["fp"].to_pylist())
     return fps
 
@@ -108,6 +108,50 @@ class TestCrawlE2E:
             == full_order
         )
         assert _engine_seen_fps(wd) == _engine_seen_fps(str(tmp_path / "full"))
+
+    def test_autothrottle_resume_identical(self, smoke_corpus, tmp_path):
+        """AutoThrottle (ST5) on: adaptive delays shrink budgets AND the
+        adjusted delays are part of the committed round state, so a killed
+        run still resumes to the identical artifact."""
+        cfg = _cfg()
+        cfg.autothrottle_enabled = True
+        cfg.autothrottle_start_delay = 2.0  # budget 8/2=4 from round 0
+        cfg.autothrottle_sim_bandwidth = 500.0  # pages ≈ kB ⇒ latency > 1 s
+
+        eng_a = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "at_full"), cfg
+        )
+        eng_a.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res_a = eng_a.run(max_rounds=5)
+        eng_a.shutdown_actors()
+        assert res_a.total_fetched > 0
+        # throttle state checkpoints exist alongside the seen deltas
+        seen_dir = os.path.join(str(tmp_path / "at_full"), "seen")
+        snaps = [
+            f
+            for shard in os.listdir(seen_dir)
+            for f in os.listdir(os.path.join(seen_dir, shard))
+            if f.startswith("throttle=")
+        ]
+        assert snaps
+
+        wd = str(tmp_path / "at_resumed")
+        eng_b = CrawlEngine.for_corpus(os.path.join(smoke_corpus, "pages"), wd, cfg)
+        eng_b.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        eng_b.run(max_rounds=2)
+        eng_b.shutdown_actors()  # "kill"
+        eng_c = CrawlEngine(eng_b.store_dir, wd, cfg)
+        eng_c.run(max_rounds=5)
+        eng_c.shutdown_actors()
+
+        from scrupyst_ray.pipelines.crawl import CrawlResult
+
+        t_full = CrawlResult(str(tmp_path / "at_full"), [], "").crawl_order_table()
+        t_res = CrawlResult(wd, [], "").crawl_order_table()
+        assert list(zip(t_res["round"].to_pylist(), t_res["url"].to_pylist())) == list(
+            zip(t_full["round"].to_pylist(), t_full["url"].to_pylist())
+        )
+        assert _engine_seen_fps(wd) == _engine_seen_fps(str(tmp_path / "at_full"))
 
     def test_robots_and_budget_visible(self, smoke_corpus, tmp_path):
         """Sanity: the robots matrix actually bites (host h%5==1 disallows our
