@@ -92,7 +92,7 @@ def run_crawl_bench(
         max_round_candidates=4_000_000,
     )
     store_dir = os.path.join(
-        "/tmp", f"scrupyst_store_H{H}_P{P}_s{show}_b{cfg.fetch_buckets}"
+        "/tmp", f"scrupyst_store_H{H}_P{P}_s{show}_b{cfg.fetch_buckets}_rg1k"
     )
     wd = os.path.join("/tmp", f"scrupyst_bench_wd{workdir_tag}")
     shutil.rmtree(wd, ignore_errors=True)

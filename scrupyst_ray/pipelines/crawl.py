@@ -104,6 +104,12 @@ def _shard_gate_fn(
     only pass-1 survivors — once per unique URL instead of once per edge.
     """
 
+    SORT_KEYS = [
+        ("host", "ascending"),
+        ("priority", "descending"),
+        ("order_key", "ascending"),
+    ]
+
     def gate(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group
@@ -111,94 +117,173 @@ def _shard_gate_fn(
         mask = pc.not_equal(group["url"], "")
         if not pc.all(mask).as_py():
             group = group.filter(mask)  # drop driver ticklers
+        deferred_in = None
         if deferred_in_dir is not None:
             dpath = os.path.join(
                 deferred_in_dir, f"deferred-shard-{shard_id:05d}.parquet"
             )
             if os.path.exists(dpath):
-                group = pa.concat_tables(
-                    [group, pq.read_table(dpath)], promote_options="default"
-                )
-        if group.num_rows == 0:
-            return group
-        # deterministic processing order: host, then priority desc, then FIFO
-        group = group.take(
-            pc.sort_indices(
-                group,
-                sort_keys=[
-                    ("host", "ascending"),
-                    ("priority", "descending"),
-                    ("order_key", "ascending"),
-                ],
-            )
-        )
-        fps = group["fp"].to_pylist()
-        fp64 = group["fp64"].to_numpy(zero_copy_only=False).copy()
-        urls = group["url"].to_pylist()
-        hosts = group["host"].to_pylist()
-        skip_seen = (
-            pc.or_(group["dont_filter"], group["already_enqueued"])
-            .to_numpy(zero_copy_only=False)
-            .astype(bool)
-        )
-        order_rank = pc.sort_indices(
-            group,
-            sort_keys=[("priority", "descending"), ("order_key", "ascending")],
-        ).to_numpy(zero_copy_only=False)
+                deferred_in = pq.read_table(dpath)
         n = group.num_rows
-        rank_of_row = np.empty(n, dtype=np.int64)
-        rank_of_row[order_rank] = np.arange(n)
-        local_dup = np.zeros(n, dtype=bool)
+        n_def = deferred_in.num_rows if deferred_in is not None else 0
+        if n == 0 and n_def == 0:
+            return group
 
-        def dedup_pass(keys) -> None:
-            winner: dict = {}
-            for i in range(n):
-                if skip_seen[i] or local_dup[i]:
-                    continue
-                k = keys[i]
-                j = winner.get(k)
-                if j is None or rank_of_row[i] < rank_of_row[j]:
-                    if j is not None:
-                        local_dup[j] = True
-                    winner[k] = i
-                else:
-                    local_dup[i] = True
-
-        dedup_pass(urls)
-        changed_fp = False
-        for i in np.flatnonzero(~local_dup):
-            if not fps[i]:
-                fp = fingerprint(urls[i], url_is_safe=True)
-                fps[i] = fp
-                fp64[i] = int.from_bytes(fp[:8], "big")
-                changed_fp = True
-        dedup_pass(fps)
-
-        live = np.flatnonzero(~local_dup)
-        decisions = ray.get(
-            actors[shard_id].process.remote(
-                round_id,
-                [fps[i] for i in live],
-                fp64[live],
-                skip_seen[live],
-                [hosts[i] for i in live],
-                [urls[i] for i in live],
+        # -- NEW candidates only: dedup, lazy fingerprint, one gate RPC.
+        # Deferred rows were seen-recorded and robots-checked when first
+        # gated (forbidden rows are dropped, never deferred; robots rules
+        # are static), so the backlog never crosses the RPC — per-round
+        # actor payload and Python-loop work are O(new rows), not
+        # O(frontier backlog).
+        status = np.zeros(0, dtype=np.int8)
+        new_surv = None
+        budget_hosts = set()
+        if n_def:
+            budget_hosts.update(pc.unique(deferred_in["host"]).to_pylist())
+        if n:
+            group = group.take(pc.sort_indices(group, sort_keys=SORT_KEYS))
+            fps = group["fp"].to_pylist()
+            fp64 = group["fp64"].to_numpy(zero_copy_only=False).copy()
+            urls = group["url"].to_pylist()
+            hosts = group["host"].to_pylist()
+            skip_seen = (
+                pc.or_(group["dont_filter"], group["already_enqueued"])
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
             )
-        )
-        status = np.full(n, SEEN_DUP, dtype=np.int8)  # local dups = filtered
-        status[live] = decisions
-        if changed_fp:
-            i_fp = group.column_names.index("fp")
-            group = group.set_column(i_fp, "fp", pa.array(fps, pa.binary()))
-            i64 = group.column_names.index("fp64")
-            group = group.set_column(i64, "fp64", pa.array(fp64, pa.uint64()))
+            order_rank = pc.sort_indices(
+                group,
+                sort_keys=[("priority", "descending"), ("order_key", "ascending")],
+            ).to_numpy(zero_copy_only=False)
+            rank_of_row = np.empty(n, dtype=np.int64)
+            rank_of_row[order_rank] = np.arange(n)
+            local_dup = np.zeros(n, dtype=bool)
+
+            def dedup_pass(keys) -> None:
+                winner: dict = {}
+                for i in range(n):
+                    if skip_seen[i] or local_dup[i]:
+                        continue
+                    k = keys[i]
+                    j = winner.get(k)
+                    if j is None or rank_of_row[i] < rank_of_row[j]:
+                        if j is not None:
+                            local_dup[j] = True
+                        winner[k] = i
+                    else:
+                        local_dup[i] = True
+
+            dedup_pass(urls)
+            changed_fp = False
+            for i in np.flatnonzero(~local_dup):
+                if not fps[i]:
+                    fp = fingerprint(urls[i], url_is_safe=True)
+                    fps[i] = fp
+                    fp64[i] = int.from_bytes(fp[:8], "big")
+                    changed_fp = True
+            dedup_pass(fps)
+
+            live = np.flatnonzero(~local_dup)
+            budget_hosts.update(hosts)
+            budget_hosts = sorted(budget_hosts)
+            res = ray.get(
+                actors[shard_id].gate_check.remote(
+                    round_id,
+                    [fps[i] for i in live],
+                    fp64[live],
+                    skip_seen[live],
+                    [hosts[i] for i in live],
+                    [urls[i] for i in live],
+                    budget_hosts,
+                )
+            )
+            status = np.full(n, SEEN_DUP, dtype=np.int8)  # dups = filtered
+            fresh, robots = res["fresh"], res["robots_ok"]
+            status[live[fresh & ~robots]] = ROBOTS_FORBIDDEN
+            status[live[fresh & robots]] = ADMITTED  # passed gate → budget draw
+            if changed_fp:
+                i_fp = group.column_names.index("fp")
+                group = group.set_column(i_fp, "fp", pa.array(fps, pa.binary()))
+                i64 = group.column_names.index("fp64")
+                group = group.set_column(i64, "fp64", pa.array(fp64, pa.uint64()))
+            new_surv = group.take(live[fresh & robots])
+        else:
+            budget_hosts = sorted(budget_hosts)
+            res = ray.get(
+                actors[shard_id].gate_check.remote(
+                    round_id,
+                    [],
+                    np.empty(0, np.uint64),
+                    np.empty(0, bool),
+                    [],
+                    [],
+                    budget_hosts,
+                )
+            )
+
+        # -- budget draw over deferred ∪ surviving new rows: pure, vectorized,
+        # deterministic (same (host, -priority, order_key) order the per-row
+        # admit loop used), so task retries replay to identical decisions.
+        parts = [
+            t for t in (deferred_in, new_surv) if t is not None and t.num_rows
+        ]
+        n_admit = n_defer_out = 0
+        admitted = None
+        if parts:
+            combined = (
+                pa.concat_tables(parts, promote_options="default")
+                if len(parts) > 1
+                else parts[0]
+            )
+            combined = combined.take(
+                pc.sort_indices(combined, sort_keys=SORT_KEYS)
+            )
+            dict_col = pc.dictionary_encode(combined["host"])
+            if isinstance(dict_col, pa.ChunkedArray):
+                dict_col = dict_col.combine_chunks()
+            codes = dict_col.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            bmap = dict(zip(budget_hosts, res["budgets"]))
+            bud = np.fromiter(
+                (bmap[h] for h in dict_col.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(dict_col.dictionary),
+            )
+            m = combined.num_rows
+            change = np.empty(m, dtype=bool)
+            change[0] = True
+            change[1:] = codes[1:] != codes[:-1]
+            host_start = np.maximum.accumulate(
+                np.where(change, np.arange(m), 0)
+            )
+            rank_in_host = np.arange(m) - host_start
+            admit_mask = rank_in_host < bud[codes]
+            admitted = combined.filter(pa.array(admit_mask))
+            n_admit = admitted.num_rows
+            n_defer_out = m - n_admit
+            if n_defer_out:
+                deferred = combined.filter(pa.array(~admit_mask))
+                i_enq = deferred.column_names.index("already_enqueued")
+                deferred = deferred.set_column(
+                    i_enq,
+                    "already_enqueued",
+                    pa.array(np.ones(deferred.num_rows, bool), pa.bool_()),
+                )
+                os.makedirs(deferred_dir, exist_ok=True)
+                dpath = os.path.join(
+                    deferred_dir, f"deferred-shard-{shard_id:05d}.parquet"
+                )
+                pq.write_table(deferred, dpath + ".tmp")
+                os.replace(dpath + ".tmp", dpath)
+
         if stats_dir is not None:
             os.makedirs(stats_dir, exist_ok=True)
             counts = {
                 "shard": int(shard_id),
-                "total": int(n),
-                "admitted": int((status == ADMITTED).sum()),
-                "deferred": int((status == DEFERRED).sum()),
+                "total": int(n + n_def),
+                "admitted": int(n_admit),
+                "deferred": int(n_defer_out),
                 "robots_forbidden": int((status == ROBOTS_FORBIDDEN).sum()),
                 "dupefilter_filtered": int((status == SEEN_DUP).sum()),
             }
@@ -206,22 +291,8 @@ def _shard_gate_fn(
             with open(path + ".tmp", "w") as f:
                 json.dump(counts, f)
             os.replace(path + ".tmp", path)
-        if deferred_dir is None:
-            return group.append_column("gate_status", pa.array(status, pa.int8()))
-        deferred_mask = status == DEFERRED
-        if deferred_mask.any():
-            deferred = group.filter(pa.array(deferred_mask))
-            i_enq = deferred.column_names.index("already_enqueued")
-            deferred = deferred.set_column(
-                i_enq,
-                "already_enqueued",
-                pa.array(np.ones(deferred.num_rows, bool), pa.bool_()),
-            )
-            os.makedirs(deferred_dir, exist_ok=True)
-            dpath = os.path.join(deferred_dir, f"deferred-shard-{shard_id:05d}.parquet")
-            pq.write_table(deferred, dpath + ".tmp")
-            os.replace(dpath + ".tmp", dpath)
-        admitted = group.filter(pa.array(status == ADMITTED))
+        if admitted is None:
+            return group.slice(0, 0)
         # fetch routing key: sub-split each store bucket FETCH_SPLIT ways
         # (bucket is only 64-ary; range-partitioning so few distinct values
         # across ~32 blocks is lumpy — measured 3.3s..10.9s fetch-task skew.
@@ -611,7 +682,15 @@ class CrawlEngine:
         # overhead per round); map_groups still runs once per key, so shard
         # determinism is unaffected by partition count.
         gate_parts = max(1, min(cfg.seen_shards, total_rows // 4096))
-        fetch_parts = max(4, min(cfg.fetch_buckets, total_rows // 512))
+        # fetch partitions: up to half the fetch_key space (buckets ×
+        # FETCH_SPLIT sub-keys), NOT capped at the bucket count — coarse
+        # partitions (~8 keys each) gave a 2-4× task-duration spread and a
+        # straggler tail that idled most of a 32-core node for the last
+        # third of every parse phase; ~2 keys per partition amortizes the
+        # tail across waves at every cluster size
+        fetch_parts = max(
+            4, min(cfg.fetch_buckets * FETCH_SPLIT // 2, total_rows // 512)
+        )
         store_dir = self.store_dir
         t_exec = time.monotonic()
         (

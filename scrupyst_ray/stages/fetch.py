@@ -97,7 +97,14 @@ def build_page_store(
         bdir = os.path.join(store_dir, f"bucket={bucket}")
         os.makedirs(bdir, exist_ok=True)
         path = os.path.join(bdir, "part-0.parquet")
-        pq.write_table(group.drop_columns(["bucket"]), path + ".tmp")
+        # url-sorted + small row groups: per-round probes filter by
+        # ``url ∈ frontier``, and parquet row-group min/max statistics can
+        # only prune when urls are clustered — unsorted single-row-group
+        # buckets forced every probe to decode the WHOLE bucket (measured
+        # as a 1.4× per-task time inflation at 32-way parallelism from
+        # memory-bandwidth contention alone)
+        group = group.drop_columns(["bucket"]).sort_by("url")
+        pq.write_table(group, path + ".tmp", row_group_size=1024)
         os.replace(path + ".tmp", path)
         return pa.table({"bucket": [bucket], "rows": [group.num_rows]})
 

@@ -99,6 +99,30 @@ class PolitenessState:
             return max(1, int(self.round_seconds / delay))
         return concurrency
 
+    # -- vectorized gate helpers (scale path) ---------------------------------
+    # The superstep gate keeps the deferred backlog OUT of the actor RPC:
+    # deferred rows were robots-checked and seen-recorded when first gated, so
+    # per round the actor only answers (a) robots verdicts for NEW rows and
+    # (b) per-host budgets; the budget draw itself is pure deterministic
+    # compute done vectorized inside the gate task (pipelines/crawl.py).
+
+    def robots_ok(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        """Per-row robots verdict (all-True when ROBOTSTXT_OBEY is off)."""
+        n = len(urls)
+        out = np.ones(n, dtype=bool)
+        if not self.robotstxt_obey:
+            return out
+        ua = self.user_agent
+        for i in range(n):
+            out[i] = self._rules_for(hosts[i]).allowed(urls[i], ua)
+        return out
+
+    def budgets(self, hosts: list[str]) -> np.ndarray:
+        """Per-host round budget for a list of (unique) hosts."""
+        return np.fromiter(
+            (self._budget_for(h) for h in hosts), dtype=np.int64, count=len(hosts)
+        )
+
     # -- admission ----------------------------------------------------------
 
     def admit(self, round_id: int, hosts: list[str], urls: list[str]) -> np.ndarray:

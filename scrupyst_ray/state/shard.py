@@ -141,6 +141,43 @@ class _StateShard:
             out[live_idx] = decisions
         return out
 
+    def gate_check(
+        self,
+        round_id: int,
+        fps: list[bytes],
+        fp64: np.ndarray,
+        skip_seen: np.ndarray,
+        hosts: list[str],
+        urls: list[str],
+        budget_hosts: list[str],
+    ) -> dict:
+        """Scale-path gate RPC: seen-check + robots verdicts for the round's
+        NEW rows only, plus per-host budgets for *budget_hosts* (the union of
+        new and deferred hosts).  The budget draw itself happens in the gate
+        task (pure, vectorized, retry-safe) — the deferred backlog never
+        crosses this RPC, so per-round actor payload is O(new rows), not
+        O(frontier).  Idempotent per round: ``check_and_add`` replays round-
+        *r* re-deliveries, robots verdicts and budgets are pure per round.
+        """
+        self._ensure_robots()
+        n = len(urls)
+        skip_seen = np.asarray(skip_seen, dtype=bool)
+        fresh = np.ones(n, dtype=bool)
+        check_idx = np.flatnonzero(~skip_seen)
+        if len(check_idx):
+            sub_fps = [fps[i] for i in check_idx]
+            sub64 = np.asarray(fp64, dtype=np.uint64)[check_idx]
+            fresh[check_idx] = self.seen.check_and_add(round_id, sub_fps, sub64)
+        robots = self.politeness.robots_ok(hosts, urls)
+        self.politeness.stats["robots_forbidden"] += int(
+            (fresh & ~robots).sum()
+        )
+        return {
+            "fresh": fresh,
+            "robots_ok": robots,
+            "budgets": self.politeness.budgets(budget_hosts),
+        }
+
     def observe_round(
         self,
         round_id: int,
