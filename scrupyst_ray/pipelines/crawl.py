@@ -79,6 +79,7 @@ def _shard_gate_fn(
     stats_dir: str | None = None,
     deferred_dir: str | None = None,
     deferred_in_dir: str | None = None,
+    candidates_in_dir: str | None = None,
 ):
     """Build the per-shard-group gate function: within-round dedup (global
     winner by (priority desc, order_key) — deterministic), lazy fingerprint
@@ -117,6 +118,20 @@ def _shard_gate_fn(
         mask = pc.not_equal(group["url"], "")
         if not pc.all(mask).as_py():
             group = group.filter(mask)  # drop driver ticklers
+        # this shard's NEW candidate files (map-side partitioned by the
+        # previous round's fetch tasks — no shuffle brought them here)
+        if candidates_in_dir is not None:
+            cdir = os.path.join(candidates_in_dir, f"shard-{shard_id:05d}")
+            if os.path.isdir(cdir):
+                cand_tables = [
+                    pq.read_table(os.path.join(cdir, f))
+                    for f in sorted(os.listdir(cdir))
+                    if f.endswith(".parquet")
+                ]
+                if cand_tables:
+                    group = pa.concat_tables(
+                        [group] + cand_tables, promote_options="default"
+                    ).combine_chunks()
         deferred_in = None
         if deferred_in_dir is not None:
             dpath = os.path.join(
@@ -312,12 +327,37 @@ def _shard_gate_fn(
     return gate
 
 
+def _write_sharded_candidates(ds, out_dir: str, num_shards: int, tag: str) -> None:
+    """Write a frontier dataset as per-shard candidate files
+    (``out_dir/shard-K/from-<tag>.parquet``) — the same map-side-partitioned
+    layout the fetch stage emits, so the gate can always read its shard's
+    rows without a shuffle."""
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32())})
+        shard_id = group["shard"][0].as_py()
+        sdir = os.path.join(out_dir, f"shard-{shard_id:05d}")
+        os.makedirs(sdir, exist_ok=True)
+        path = os.path.join(sdir, f"from-{tag}.parquet")
+        pq.write_table(group, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return pa.table({"shard": pa.array([shard_id], pa.int32())})
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.groupby("shard", num_partitions=num_shards).map_groups(
+        write_shard, batch_format="pyarrow"
+    ).materialize()
+
+
 def _parquet_rows(dir_path: str) -> int:
-    """Row count from parquet footers only (no data read)."""
+    """Row count from parquet footers only (no data read); recurses into
+    per-shard subdirectories."""
     total = 0
-    for f in os.listdir(dir_path):
-        if f.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(dir_path, f)).metadata.num_rows
+    for root, _dirs, files in os.walk(dir_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
     return total
 
 
@@ -334,6 +374,7 @@ class RoundStats:
     edges: int = 0
     candidates_kept: int = 0
     candidate_drops: dict = field(default_factory=dict)
+    fetch_phase_s: dict = field(default_factory=dict)  # cumulative task-sec
     wall_s: float = 0.0
     expand_s: float = 0.0
     cap_s: float = 0.0
@@ -546,8 +587,7 @@ class CrawlEngine:
         frontier = seeds.map_batches(
             lambda b: seeds_to_frontier(b, cfg), batch_format="pyarrow"
         )
-        os.makedirs(fdir, exist_ok=True)
-        frontier.write_parquet(fdir)
+        _write_sharded_candidates(frontier, fdir, cfg.seen_shards, "seeds")
 
     # -- the superstep ---------------------------------------------------------
 
@@ -598,14 +638,19 @@ class CrawlEngine:
     def _run_round(self, n: int, actors: list) -> RoundStats:
         """One superstep in ONE Ray Data execution:
 
-            read frontier → groupby(shard) → gate (dedup + lazy fingerprint +
-            StateShard RPC; side-writes DEFERRED rows straight into the next
-            frontier dir) → groupby(bucket) → fused fetch+parse+candidate-
-            filter → write next frontier.
+            shard ticklers → groupby(shard) → gate (reads its shard's
+            candidate + deferred files; dedup + lazy fingerprint + StateShard
+            RPC + vectorized budget draw; side-writes DEFERRED rows) →
+            groupby(fetch_key) → fused fetch+parse → per-shard candidate
+            files for round n+1.
 
-        Two metadata-only shuffles, html never leaves the fetch tasks.  All
-        counters come from idempotent per-shard / per-bucket sidecar files
-        and parquet footers — zero bookkeeping executions.
+        The frontier itself NEVER rides an all-to-all exchange: candidates
+        are hash-partitioned by seen-shard at the map side (fetch tasks
+        write ``candidates/shard=K/from-<group>.parquet``) and each gate
+        task reads only its own shard's files — per-round shuffle volume is
+        the ADMITTED set (politeness-bounded), not the candidate flood.
+        All counters come from idempotent per-shard / per-group sidecar
+        files and parquet footers — zero bookkeeping executions.
         """
         t0 = time.monotonic()
         cfg = self.cfg
@@ -616,72 +661,46 @@ class CrawlEngine:
         nf_dir = self._frontier_dir(n + 1)
         if os.path.isdir(nf_dir):  # partial files from a killed attempt
             shutil.rmtree(nf_dir)
-        # Only NEW candidates flow through the shard shuffle; deferred rows
-        # are already partitioned by shard from the previous round and the
-        # owning gate task reads its file directly.  Ticklers (one empty-url
-        # row per shard holding deferred work) guarantee every such shard
-        # gets a gate call even with zero new candidates.
         cand_rows, def_rows = self._frontier_rows(n)
+        cand_dir = self._candidates_dir(n)
         def_dir = self._deferred_dir(n)
-        tickler_shards = []
+        # One tickler row per shard with work (candidate files and/or a
+        # deferred file) drives the gate stage; the actual rows are read
+        # task-side by the owning gate task.
+        work_shards: set[int] = set()
+        if os.path.isdir(cand_dir):
+            for d in os.listdir(cand_dir):
+                if d.startswith("shard-"):
+                    work_shards.add(int(d[len("shard-") :]))
         if os.path.isdir(def_dir):
-            for fname in sorted(os.listdir(def_dir)):
+            for fname in os.listdir(def_dir):
                 if fname.startswith("deferred-shard-") and fname.endswith(".parquet"):
-                    tickler_shards.append(int(fname[len("deferred-shard-") : -8]))
-        # Read the candidates into a BOUNDED number of blocks: the default
-        # splitter shreds the many small per-task files into thousands of
-        # tiny blocks, and every downstream stage (sort sampling, map_groups,
-        # write) pays per-block task overhead (measured 58s → 1.7s on a
-        # 750k-row frontier; 58 tasks → ~11 on a 3k-row one).  Blocks scale
-        # with rows (~256 rows each — block count bounds the PARSE stage's
-        # parallelism too, so blocks must outnumber cores well before the
-        # frontier does), capped at one per shard and growing again only
-        # past ~200k rows per block.
-        total_rows = cand_rows + def_rows
-        num_blocks = max(
-            1,
-            min(
-                max(cfg.seen_shards, cand_rows // 200_000),
-                cand_rows // 256 + 1,
-            ),
+                    work_shards.add(int(fname[len("deferred-shard-") : -8]))
+        tickler_shards = sorted(work_shards)
+        from scrupyst_ray.stages.frontier import FRONTIER_SCHEMA
+
+        k = len(tickler_shards)
+        ticklers = pa.table(
+            {
+                "url": [""] * k,
+                "host": [""] * k,
+                "depth": pa.array([0] * k, pa.int32()),
+                "priority": pa.array([0] * k, pa.int64()),
+                "order_key": pa.array([b""] * k, pa.binary()),
+                "dont_filter": [False] * k,
+                "already_enqueued": [False] * k,
+                "is_start": [False] * k,
+                "fp": pa.array([b""] * k, pa.binary()),
+                "fp64": pa.array([0] * k, pa.uint64()),
+                "shard": pa.array(tickler_shards, pa.int32()),
+                "bucket": pa.array([0] * k, pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
         )
-        parts = []
-        if cand_rows:
-            parts.append(
-                ray.data.read_parquet(
-                    self._candidates_dir(n), override_num_blocks=num_blocks
-                )
-            )
-        if tickler_shards:
-            from scrupyst_ray.stages.frontier import FRONTIER_SCHEMA
+        frontier = ray.data.from_arrow(ticklers)
 
-            k = len(tickler_shards)
-            ticklers = pa.table(
-                {
-                    "url": [""] * k,
-                    "host": [""] * k,
-                    "depth": pa.array([0] * k, pa.int32()),
-                    "priority": pa.array([0] * k, pa.int64()),
-                    "order_key": pa.array([b""] * k, pa.binary()),
-                    "dont_filter": [False] * k,
-                    "already_enqueued": [False] * k,
-                    "is_start": [False] * k,
-                    "fp": pa.array([b""] * k, pa.binary()),
-                    "fp64": pa.array([0] * k, pa.uint64()),
-                    "shard": pa.array(tickler_shards, pa.int32()),
-                    "bucket": pa.array([0] * k, pa.int32()),
-                },
-                schema=FRONTIER_SCHEMA,
-            )
-            parts.append(ray.data.from_arrow(ticklers))
-        frontier = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-
-        # num_partitions capped by shard/bucket counts AND scaled down for
-        # small rounds — the default would cut the tiny frontier metadata
-        # into hundreds of near-empty partitions (pure task-scheduling
-        # overhead per round); map_groups still runs once per key, so shard
-        # determinism is unaffected by partition count.
-        gate_parts = max(1, min(cfg.seen_shards, total_rows // 4096))
+        total_rows = cand_rows + def_rows
+        gate_parts = max(1, min(cfg.seen_shards, len(tickler_shards)))
         # fetch partitions: up to half the fetch_key space (buckets ×
         # FETCH_SPLIT sub-keys), NOT capped at the bucket count — coarse
         # partitions (~8 keys each) gave a 2-4× task-duration spread and a
@@ -692,6 +711,7 @@ class CrawlEngine:
             4, min(cfg.fetch_buckets * FETCH_SPLIT // 2, total_rows // 512)
         )
         store_dir = self.store_dir
+        next_cand_dir = os.path.join(nf_dir, "candidates")
         t_exec = time.monotonic()
         (
             frontier.groupby("shard", num_partitions=gate_parts)
@@ -702,15 +722,18 @@ class CrawlEngine:
                     gate_stats_dir,
                     deferred_dir=os.path.join(nf_dir, "deferred"),
                     deferred_in_dir=def_dir if def_rows else None,
+                    candidates_in_dir=cand_dir if cand_rows else None,
                 ),
                 batch_format="pyarrow",
             )
             .groupby("fetch_key", num_partitions=fetch_parts)
             .map_groups(
-                lambda g: FetchParse(store_dir, n, fetched_dir, cfg)(g),
+                lambda g: FetchParse(
+                    store_dir, n, fetched_dir, cfg, candidates_dir=next_cand_dir
+                )(g),
                 batch_format="pyarrow",
             )
-            .write_parquet(os.path.join(nf_dir, "candidates"))
+            .materialize()
         )
         stats.expand_s = round(time.monotonic() - t_exec, 2)
         for fname in os.listdir(gate_stats_dir) if os.path.isdir(gate_stats_dir) else []:
@@ -732,15 +755,20 @@ class CrawlEngine:
             # fingerprints are already recorded in the seen set, so dropping
             # one would lose the URL forever.
             nc_dir = self._candidates_dir(n + 1)
+            files = [
+                os.path.join(root, f)
+                for root, _d, fs in os.walk(nc_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
             capped = (
-                ray.data.read_parquet(nc_dir)
+                ray.data.read_parquet(files)
                 .sort(["priority", "order_key"], descending=[True, False])
                 .limit(cfg.max_round_candidates)
             )
             tmp_dir = nc_dir + ".capped"
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            os.makedirs(tmp_dir)
-            capped.write_parquet(tmp_dir)
+            _write_sharded_candidates(capped, tmp_dir, cfg.seen_shards, "cap")
             shutil.rmtree(nc_dir)
             os.replace(tmp_dir, nc_dir)
             next_cand = cfg.max_round_candidates
@@ -762,6 +790,10 @@ class CrawlEngine:
                     for reason, cnt in c["drops"].items():
                         stats.candidate_drops[reason] = (
                             stats.candidate_drops.get(reason, 0) + cnt
+                        )
+                    for ph, sec in c.get("phase_s", {}).items():
+                        stats.fetch_phase_s[ph] = round(
+                            stats.fetch_phase_s.get(ph, 0.0) + sec, 2
                         )
                     for host, ob in c.get("host_obs", {}).items():
                         tot = host_obs.setdefault(host, [0, 0, 0])

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -176,11 +177,13 @@ class FetchParse:
         round_id: int,
         fetched_dir: str,
         cfg: CrawlConfig | None = None,
+        candidates_dir: str | None = None,
     ):
         self.store_dir = store_dir
         self.round_id = round_id
         self.fetched_dir = fetched_dir
         self.cfg = cfg or CrawlConfig()
+        self.candidates_dir = candidates_dir
         self.extractor = LinkExtractorConfig()
         os.makedirs(fetched_dir, exist_ok=True)
         _cap_arrow_threads()
@@ -193,10 +196,12 @@ class FetchParse:
             edges_to_candidates,
         )
 
+        empty = pa.table(
+            {k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
+        )
         if group.num_rows == 0:
-            return pa.table(
-                {k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA
-            )
+            return empty
+        t0 = time.monotonic()
         bucket = group["bucket"][0].as_py()
         part_key = (
             group["fetch_key"][0].as_py()
@@ -205,6 +210,7 @@ class FetchParse:
         )
         urls = group["url"].to_pylist()
         pages = _read_bucket_pages(self.store_dir, bucket, urls)
+        t_read = time.monotonic()
         joined = group.join(pages, keys="url", join_type="left outer")
         # deterministic artifact order within the bucket file
         joined = joined.sort_by([("priority", "descending"), ("order_key", "ascending")])
@@ -241,6 +247,7 @@ class FetchParse:
                 e_link_idx.append(li)
                 e_pdepth.append(depths[i])
                 e_pkey.append(order_keys[i])
+        t_parse = time.monotonic()
 
         fetched = pa.table(
             {
@@ -281,6 +288,7 @@ class FetchParse:
             DROP_REASON_NAMES[int(r)]: int(c)
             for r, c in zip(*np.unique(reasons[reasons != KEEP], return_counts=True))
         }
+        t_cand = time.monotonic()
         stats = {
             "bucket": int(bucket),
             "fetched": int((statuses == 200).sum()),
@@ -288,6 +296,14 @@ class FetchParse:
             "edges": int(edges.num_rows),
             "kept": int(kept.num_rows),
             "drops": drops,
+            # per-phase wall (s): store probe / decode+parse+links / artifact
+            # write + candidate build — lets the driver see where fetch-task
+            # time goes without extra executions
+            "phase_s": {
+                "read": round(t_read - t0, 3),
+                "parse": round(t_parse - t_read, 3),
+                "emit": round(t_cand - t_parse, 3),
+            },
         }
         if self.cfg.autothrottle_enabled:
             # per-host observations for the AutoThrottle feedback loop (ST5):
@@ -306,4 +322,23 @@ class FetchParse:
         with open(sc_path + ".tmp", "w") as f:
             json.dump(stats, f)
         os.replace(sc_path + ".tmp", sc_path)
-        return kept
+        if self.candidates_dir is None:
+            return kept
+        # Map-side partitioned exchange: write the kept candidates ALREADY
+        # split by their owning seen/politeness shard, so next round's gate
+        # task reads its shard's files directly and the frontier NEVER rides
+        # an all-to-all shuffle (the per-round sort of millions of candidate
+        # rows was the dominant non-parallel cost — only the small admitted
+        # set is ever exchanged through Ray Data).  File per (shard, fetch
+        # group) with tmp+rename keyed by the stable part_key: idempotent on
+        # task retry, and the files ARE the resume checkpoint.
+        if kept.num_rows:
+            shards_col = kept["shard"].to_numpy(zero_copy_only=False)
+            for shard_id in np.unique(shards_col):
+                sub = kept.filter(pa.array(shards_col == shard_id))
+                sdir = os.path.join(self.candidates_dir, f"shard-{shard_id:05d}")
+                os.makedirs(sdir, exist_ok=True)
+                path = os.path.join(sdir, f"from-{part_key:06d}.parquet")
+                pq.write_table(sub, path + ".tmp")
+                os.replace(path + ".tmp", path)
+        return empty
