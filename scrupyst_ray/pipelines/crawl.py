@@ -114,6 +114,7 @@ def _shard_gate_fn(
     def gate(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group
+        t_start = time.monotonic()
         shard_id = group["shard"][0].as_py()
         mask = pc.not_equal(group["url"], "")
         if not pc.all(mask).as_py():
@@ -140,6 +141,7 @@ def _shard_gate_fn(
                 deferred_in = pq.read_table(dpath)
         n = group.num_rows
         n_def = deferred_in.num_rows if deferred_in is not None else 0
+        t_read = time.monotonic()
         if n == 0 and n_def == 0:
             return group
 
@@ -200,6 +202,7 @@ def _shard_gate_fn(
             live = np.flatnonzero(~local_dup)
             budget_hosts.update(hosts)
             budget_hosts = sorted(budget_hosts)
+            t_dedup = time.monotonic()
             res = ray.get(
                 actors[shard_id].gate_check.remote(
                     round_id,
@@ -211,6 +214,7 @@ def _shard_gate_fn(
                     budget_hosts,
                 )
             )
+            t_rpc = time.monotonic()
             status = np.full(n, SEEN_DUP, dtype=np.int8)  # dups = filtered
             fresh, robots = res["fresh"], res["robots_ok"]
             status[live[fresh & ~robots]] = ROBOTS_FORBIDDEN
@@ -223,6 +227,7 @@ def _shard_gate_fn(
             new_surv = group.take(live[fresh & robots])
         else:
             budget_hosts = sorted(budget_hosts)
+            t_dedup = time.monotonic()
             res = ray.get(
                 actors[shard_id].gate_check.remote(
                     round_id,
@@ -234,6 +239,7 @@ def _shard_gate_fn(
                     budget_hosts,
                 )
             )
+            t_rpc = time.monotonic()
 
         # -- budget draw over deferred ∪ surviving new rows: pure, vectorized,
         # deterministic (same (host, -priority, order_key) order the per-row
@@ -300,6 +306,14 @@ def _shard_gate_fn(
                 "deferred": int(n_defer_out),
                 "robots_forbidden": int((status == ROBOTS_FORBIDDEN).sum()),
                 "dupefilter_filtered": int((status == SEEN_DUP).sum()),
+                # per-phase wall (s): candidate/deferred file read / local
+                # dedup+fingerprint / StateShard RPC / budget draw+defer write
+                "phase_s": {
+                    "read": round(t_read - t_start, 3),
+                    "dedup": round(t_dedup - t_read, 3),
+                    "rpc": round(t_rpc - t_dedup, 3),
+                    "draw": round(time.monotonic() - t_rpc, 3),
+                },
             }
             path = os.path.join(stats_dir, f"shard={shard_id:05d}.json")
             with open(path + ".tmp", "w") as f:
@@ -437,6 +451,10 @@ class CrawlEngine:
         self.robots_dir = os.path.join(workdir, "robots")
         os.makedirs(self.rounds_dir, exist_ok=True)
         self._actors: list | None = None
+        # (cand_rows, def_rows) per round, carried forward from each round's
+        # sidecar sums — the fallback footer walk over the many small
+        # candidate files costs seconds of serial driver time per round
+        self._frontier_rows_cache: dict[int, tuple[int, int]] = {}
 
     # -- setup ---------------------------------------------------------------
 
@@ -558,12 +576,17 @@ class CrawlEngine:
         return os.path.join(self._frontier_dir(n), "deferred")
 
     def _frontier_rows(self, n: int) -> tuple[int, int]:
+        cached = self._frontier_rows_cache.get(n)
+        if cached is not None:
+            return cached
         cand = self._candidates_dir(n)
         deferred = self._deferred_dir(n)
-        return (
+        rows = (
             _parquet_rows(cand) if os.path.isdir(cand) else 0,
             _parquet_rows(deferred) if os.path.isdir(deferred) else 0,
         )
+        self._frontier_rows_cache[n] = rows
+        return rows
 
     def _manifest_path(self, n: int) -> str:
         return os.path.join(self._round_dir(n), "MANIFEST.json")
@@ -715,8 +738,18 @@ class CrawlEngine:
         # straggler tail that idled most of a 32-core node for the last
         # third of every parse phase; ~2 keys per partition amortizes the
         # tail across waves at every cluster size
+        # ...but cap at ~2 waves of the CLUSTER's cpu slots: more tasks than
+        # that only adds wave-quantization loss (each extra wave pays the
+        # slowest task) and multiplies the per-(shard, task) candidate-file
+        # count the next gate must read back
+        n_cpus = int(ray.cluster_resources().get("CPU", 32))
         fetch_parts = max(
-            4, min(cfg.fetch_buckets * FETCH_SPLIT // 2, total_rows // 512)
+            4,
+            min(
+                cfg.fetch_buckets * FETCH_SPLIT // 2,
+                total_rows // 512,
+                2 * n_cpus,
+            ),
         )
         store_dir = self.store_dir
         next_cand_dir = os.path.join(nf_dir, "candidates")
@@ -760,8 +793,42 @@ class CrawlEngine:
                 stats.deferred += c["deferred"]
                 stats.robots_forbidden += c["robots_forbidden"]
                 stats.dupefilter_filtered += c["dupefilter_filtered"]
+                for ph, sec in c.get("phase_s", {}).items():
+                    key = f"gate_{ph}"
+                    stats.fetch_phase_s[key] = round(
+                        stats.fetch_phase_s.get(key, 0.0) + sec, 2
+                    )
 
-        next_cand, next_def = self._frontier_rows(n + 1)
+        # fetch / candidate counters from the bucket sidecars; the summed
+        # "kept" count IS next round's candidate row count (the fetch tasks
+        # wrote exactly those rows into the sharded candidate files), so no
+        # driver-side footer walk over thousands of small files is needed
+        kept_rows = 0
+        host_obs: dict[str, list[int]] = {}
+        if os.path.isdir(fetched_dir):
+            for fname in os.listdir(fetched_dir):
+                if fname.endswith(".stats.json"):
+                    with open(os.path.join(fetched_dir, fname)) as f:
+                        c = json.load(f)
+                    stats.fetched += c["fetched"]
+                    stats.fetch_miss += c["miss"]
+                    stats.edges += c["edges"]
+                    kept_rows += c["kept"]
+                    for reason, cnt in c["drops"].items():
+                        stats.candidate_drops[reason] = (
+                            stats.candidate_drops.get(reason, 0) + cnt
+                        )
+                    for ph, sec in c.get("phase_s", {}).items():
+                        stats.fetch_phase_s[ph] = round(
+                            stats.fetch_phase_s.get(ph, 0.0) + sec, 2
+                        )
+                    for host, ob in c.get("host_obs", {}).items():
+                        tot = host_obs.setdefault(host, [0, 0, 0])
+                        tot[0] += ob[0]
+                        tot[1] += ob[1]
+                        tot[2] += ob[2]
+
+        next_cand, next_def = kept_rows, stats.deferred
         if cfg.max_round_candidates and next_cand > cfg.max_round_candidates:
             t_cap = time.monotonic()
             # bound the next shuffle: global top-k of the NEW candidates by
@@ -789,32 +856,9 @@ class CrawlEngine:
             next_cand = cfg.max_round_candidates
             stats.cap_s = round(time.monotonic() - t_cap, 2)
         next_count = next_cand + next_def
+        self._frontier_rows_cache[n + 1] = (next_cand, next_def)
         if next_count == 0 and os.path.isdir(nf_dir):
             shutil.rmtree(nf_dir)  # empty write ⇒ crawl drains
-
-        # fetch / candidate counters from the bucket sidecars
-        host_obs: dict[str, list[int]] = {}
-        if os.path.isdir(fetched_dir):
-            for fname in os.listdir(fetched_dir):
-                if fname.endswith(".stats.json"):
-                    with open(os.path.join(fetched_dir, fname)) as f:
-                        c = json.load(f)
-                    stats.fetched += c["fetched"]
-                    stats.fetch_miss += c["miss"]
-                    stats.edges += c["edges"]
-                    for reason, cnt in c["drops"].items():
-                        stats.candidate_drops[reason] = (
-                            stats.candidate_drops.get(reason, 0) + cnt
-                        )
-                    for ph, sec in c.get("phase_s", {}).items():
-                        stats.fetch_phase_s[ph] = round(
-                            stats.fetch_phase_s.get(ph, 0.0) + sec, 2
-                        )
-                    for host, ob in c.get("host_obs", {}).items():
-                        tot = host_obs.setdefault(host, [0, 0, 0])
-                        tot[0] += ob[0]
-                        tot[1] += ob[1]
-                        tot[2] += ob[2]
         stats.candidates_kept = next_count
 
         if cfg.autothrottle_enabled and host_obs:

@@ -289,6 +289,24 @@ class FetchParse:
             for r, c in zip(*np.unique(reasons[reasons != KEEP], return_counts=True))
         }
         t_cand = time.monotonic()
+        # Map-side partitioned exchange: write the kept candidates ALREADY
+        # split by their owning seen/politeness shard, so next round's gate
+        # task reads its shard's files directly and the frontier NEVER rides
+        # an all-to-all shuffle (the per-round sort of millions of candidate
+        # rows was the dominant non-parallel cost — only the small admitted
+        # set is ever exchanged through Ray Data).  File per (shard, fetch
+        # group) with tmp+rename keyed by the stable part_key: idempotent on
+        # task retry, and the files ARE the resume checkpoint.
+        if self.candidates_dir is not None and kept.num_rows:
+            shards_col = kept["shard"].to_numpy(zero_copy_only=False)
+            for shard_id in np.unique(shards_col):
+                sub = kept.filter(pa.array(shards_col == shard_id))
+                sdir = os.path.join(self.candidates_dir, f"shard-{shard_id:05d}")
+                os.makedirs(sdir, exist_ok=True)
+                path = os.path.join(sdir, f"from-{part_key:06d}.parquet")
+                pq.write_table(sub, path + ".tmp")
+                os.replace(path + ".tmp", path)
+        t_write = time.monotonic()
         stats = {
             "bucket": int(bucket),
             "fetched": int((statuses == 200).sum()),
@@ -297,12 +315,13 @@ class FetchParse:
             "kept": int(kept.num_rows),
             "drops": drops,
             # per-phase wall (s): store probe / decode+parse+links / artifact
-            # write + candidate build — lets the driver see where fetch-task
-            # time goes without extra executions
+            # write + candidate build / sharded candidate write — lets the
+            # driver see where fetch-task time goes without extra executions
             "phase_s": {
                 "read": round(t_read - t0, 3),
                 "parse": round(t_parse - t_read, 3),
                 "emit": round(t_cand - t_parse, 3),
+                "write": round(t_write - t_cand, 3),
             },
         }
         if self.cfg.autothrottle_enabled:
@@ -324,21 +343,4 @@ class FetchParse:
         os.replace(sc_path + ".tmp", sc_path)
         if self.candidates_dir is None:
             return kept
-        # Map-side partitioned exchange: write the kept candidates ALREADY
-        # split by their owning seen/politeness shard, so next round's gate
-        # task reads its shard's files directly and the frontier NEVER rides
-        # an all-to-all shuffle (the per-round sort of millions of candidate
-        # rows was the dominant non-parallel cost — only the small admitted
-        # set is ever exchanged through Ray Data).  File per (shard, fetch
-        # group) with tmp+rename keyed by the stable part_key: idempotent on
-        # task retry, and the files ARE the resume checkpoint.
-        if kept.num_rows:
-            shards_col = kept["shard"].to_numpy(zero_copy_only=False)
-            for shard_id in np.unique(shards_col):
-                sub = kept.filter(pa.array(shards_col == shard_id))
-                sdir = os.path.join(self.candidates_dir, f"shard-{shard_id:05d}")
-                os.makedirs(sdir, exist_ok=True)
-                path = os.path.join(sdir, f"from-{part_key:06d}.parquet")
-                pq.write_table(sub, path + ".tmp")
-                os.replace(path + ".tmp", path)
         return empty
