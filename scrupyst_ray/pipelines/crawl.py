@@ -158,10 +158,7 @@ def _shard_gate_fn(
             budget_hosts.update(pc.unique(deferred_in["host"]).to_pylist())
         if n:
             group = group.take(pc.sort_indices(group, sort_keys=SORT_KEYS))
-            fps = group["fp"].to_pylist()
             fp64 = group["fp64"].to_numpy(zero_copy_only=False).copy()
-            urls = group["url"].to_pylist()
-            hosts = group["host"].to_pylist()
             skip_seen = (
                 pc.or_(group["dont_filter"], group["already_enqueued"])
                 .to_numpy(zero_copy_only=False)
@@ -175,42 +172,87 @@ def _shard_gate_fn(
             rank_of_row[order_rank] = np.arange(n)
             local_dup = np.zeros(n, dtype=bool)
 
-            def dedup_pass(keys) -> None:
-                winner: dict = {}
-                for i in range(n):
-                    if skip_seen[i] or local_dup[i]:
-                        continue
-                    k = keys[i]
-                    j = winner.get(k)
-                    if j is None or rank_of_row[i] < rank_of_row[j]:
-                        if j is not None:
-                            local_dup[j] = True
-                        winner[k] = i
-                    else:
-                        local_dup[i] = True
+            def mark_dups(codes: np.ndarray) -> None:
+                """Among active rows (not skip_seen, not already dup), keep
+                the lowest-rank row per key code; vectorized first-occurrence
+                over the rank-sorted active set (no Python row loop)."""
+                active = np.flatnonzero(~(skip_seen | local_dup))
+                if active.size == 0:
+                    return
+                order = active[np.argsort(rank_of_row[active], kind="stable")]
+                c = codes[order]
+                _, first = np.unique(c, return_index=True)
+                dupm = np.ones(c.size, dtype=bool)
+                dupm[first] = False
+                local_dup[order[dupm]] = True
 
-            dedup_pass(urls)
-            changed_fp = False
-            for i in np.flatnonzero(~local_dup):
-                if not fps[i]:
-                    fp = fingerprint(urls[i], url_is_safe=True)
-                    fps[i] = fp
-                    fp64[i] = int.from_bytes(fp[:8], "big")
-                    changed_fp = True
-            dedup_pass(fps)
+            # -- pass 1: exact-URL dedup via dictionary codes
+            enc = pc.dictionary_encode(group["url"])
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            mark_dups(enc.indices.to_numpy(zero_copy_only=False).astype(np.int64))
+
+            # -- lazy fingerprints: only pass-1 survivors missing fp (new
+            # candidate rows arrive with fp=b""), once per unique URL
+            fp_empty = (
+                pc.equal(group["fp"], b"")
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            computed: dict[int, bytes] = {}
+            miss_idx = np.flatnonzero(~local_dup & fp_empty)
+            if miss_idx.size:
+                miss_urls = group["url"].take(pa.array(miss_idx)).to_pylist()
+                for i, u in zip(miss_idx, miss_urls):
+                    fpb = fingerprint(u, url_is_safe=True)
+                    computed[int(i)] = fpb
+                    fp64[i] = int.from_bytes(fpb[:8], "big")
+
+            # -- pass 2: fingerprint dedup (canonically-equivalent spellings).
+            # fp64 (first 8 fp bytes) is the vectorized key; rows that share
+            # an fp64 are confirmed against full fp bytes, so 64-bit
+            # collisions can never merge distinct fingerprints.
+            active = np.flatnonzero(~(skip_seen | local_dup))
+            if active.size:
+                order = active[np.argsort(rank_of_row[active], kind="stable")]
+                c64 = fp64[order]
+                uniq, first, counts = np.unique(
+                    c64, return_index=True, return_counts=True
+                )
+                if (counts > 1).any():
+                    rows = order[np.isin(c64, uniq[counts > 1])]  # rank order
+                    fps_exact = group["fp"].take(pa.array(rows)).to_pylist()
+                    winner: dict[bytes, int] = {}
+                    for pos, i in enumerate(rows):
+                        k = computed.get(int(i)) or fps_exact[pos]
+                        if k in winner:
+                            local_dup[int(i)] = True
+                        else:
+                            winner[k] = int(i)
 
             live = np.flatnonzero(~local_dup)
-            budget_hosts.update(hosts)
+            live_pa = pa.array(live)
+            fps_live = group["fp"].take(live_pa).to_pylist()
+            if computed:
+                for j, i in enumerate(live):
+                    fpb = computed.get(int(i))
+                    if fpb is not None:
+                        fps_live[j] = fpb
+            hosts_live = group["host"].take(live_pa).to_pylist()
+            urls_live = group["url"].take(live_pa).to_pylist()
+            # hosts(live) == hosts(all candidates): a local dup always shares
+            # its host with the surviving winner (same url / same canonical)
+            budget_hosts.update(hosts_live)
             budget_hosts = sorted(budget_hosts)
             t_dedup = time.monotonic()
             res = ray.get(
                 actors[shard_id].gate_check.remote(
                     round_id,
-                    [fps[i] for i in live],
+                    fps_live,
                     fp64[live],
                     skip_seen[live],
-                    [hosts[i] for i in live],
-                    [urls[i] for i in live],
+                    hosts_live,
+                    urls_live,
                     budget_hosts,
                 )
             )
@@ -219,12 +261,19 @@ def _shard_gate_fn(
             fresh, robots = res["fresh"], res["robots_ok"]
             status[live[fresh & ~robots]] = ROBOTS_FORBIDDEN
             status[live[fresh & robots]] = ADMITTED  # passed gate → budget draw
-            if changed_fp:
-                i_fp = group.column_names.index("fp")
-                group = group.set_column(i_fp, "fp", pa.array(fps, pa.binary()))
-                i64 = group.column_names.index("fp64")
-                group = group.set_column(i64, "fp64", pa.array(fp64, pa.uint64()))
-            new_surv = group.take(live[fresh & robots])
+            keep_pos = np.flatnonzero(fresh & robots)
+            sel = live[keep_pos]
+            new_surv = group.take(pa.array(sel))
+            i_fp = new_surv.column_names.index("fp")
+            new_surv = new_surv.set_column(
+                i_fp,
+                "fp",
+                pa.array([fps_live[j] for j in keep_pos], pa.binary()),
+            )
+            i64 = new_surv.column_names.index("fp64")
+            new_surv = new_surv.set_column(
+                i64, "fp64", pa.array(fp64[sel], pa.uint64())
+            )
         else:
             budget_hosts = sorted(budget_hosts)
             t_dedup = time.monotonic()
@@ -747,7 +796,7 @@ class CrawlEngine:
             4,
             min(
                 cfg.fetch_buckets * FETCH_SPLIT // 2,
-                total_rows // 512,
+                total_rows // 64,
                 2 * n_cpus,
             ),
         )
