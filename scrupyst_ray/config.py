@@ -51,6 +51,14 @@ class CrawlConfig:
     # stop conditions (extensions/closespider.py:37-150)
     closespider_pagecount: int = 0  # 0 = unlimited
     max_rounds: int = 0  # 0 = until frontier empty
+    # user-extension surface (SURVEY §2.10): component priority dict
+    # {component: priority | None} of batch-transform middlewares
+    # (stages/middleware.py) — the reference's DOWNLOADER_MIDDLEWARES /
+    # SPIDER_MIDDLEWARES / ITEM_PIPELINES settings collapsed into one dict
+    # (hook names on the component pick the chain). None disables, lower
+    # priorities run closer to the engine. Components ride into Ray tasks
+    # inside this config, so they must be picklable.
+    middlewares: dict = field(default_factory=dict)
     # scale knobs
     seen_shards: int = 16  # URL-seen / politeness state shards (>= cluster cores)
     max_round_candidates: int = 1_000_000  # frontier cap per round (shuffle bound)

@@ -440,6 +440,7 @@ class RoundStats:
     candidates_kept: int = 0
     candidate_drops: dict = field(default_factory=dict)
     fetch_phase_s: dict = field(default_factory=dict)  # cumulative task-sec
+    mw_counts: dict = field(default_factory=dict)  # user-middleware counters
     wall_s: float = 0.0
     expand_s: float = 0.0
     cap_s: float = 0.0
@@ -876,6 +877,8 @@ class CrawlEngine:
                         tot[0] += ob[0]
                         tot[1] += ob[1]
                         tot[2] += ob[2]
+                    for key, cnt in c.get("mw", {}).items():
+                        stats.mw_counts[key] = stats.mw_counts.get(key, 0) + cnt
 
         next_cand, next_def = kept_rows, stats.deferred
         if cfg.max_round_candidates and next_cand > cfg.max_round_candidates:
@@ -937,10 +940,17 @@ class CrawlEngine:
         ray.get([a.checkpoint.remote(self.seen_dir, n) for a in actors])
         stats.checkpoint_s = round(time.monotonic() - t_ckpt, 2)
         stats.wall_s = time.monotonic() - t0
+        cfg_doc = asdict(self.cfg)
+        # middleware components are arbitrary objects; record a readable
+        # {class-name: priority} summary in the manifest instead
+        if cfg_doc.get("middlewares"):
+            cfg_doc["middlewares"] = {
+                type(c).__name__: p for c, p in self.cfg.middlewares.items()
+            }
         manifest = {
             "round": n,
             "stats": asdict(stats),
-            "config": asdict(self.cfg),
+            "config": cfg_doc,
             "next_frontier": next_count,
         }
         mp = self._manifest_path(n)

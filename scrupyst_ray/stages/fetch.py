@@ -41,6 +41,7 @@ from scrupyst_ray.functions.hashing import hash_mod_batch
 from scrupyst_ray.functions.links import LinkExtractorConfig, extract_links
 from scrupyst_ray.functions.textextract import detect_and_decode
 from scrupyst_ray.stages.frontier import EDGE_META_SCHEMA
+from scrupyst_ray.stages.middleware import MiddlewareContext, MiddlewarePipeline
 
 FETCHED_SCHEMA = pa.schema(
     [
@@ -185,6 +186,8 @@ class FetchParse:
         self.cfg = cfg or CrawlConfig()
         self.candidates_dir = candidates_dir
         self.extractor = LinkExtractorConfig()
+        # user middleware chains (SURVEY §2.10) — built once per worker
+        self.mw = MiddlewarePipeline(self.cfg.middlewares)
         os.makedirs(fetched_dir, exist_ok=True)
         _cap_arrow_threads()
 
@@ -208,12 +211,43 @@ class FetchParse:
             if "fetch_key" in group.column_names
             else bucket
         )
+        mw_ctx = MiddlewareContext(round_id=self.round_id, bucket=int(bucket))
+        if self.mw.has("process_candidates"):
+            # downloader-mw process_request analogue: last chance to drop or
+            # rewrite admitted rows before the (fetch) store probe
+            group = self.mw.run("process_candidates", group, mw_ctx)
+            if group.num_rows == 0:
+                # whole group dropped pre-fetch: still emit a sidecar so the
+                # middleware counters reach the round stats
+                stats = {
+                    "bucket": int(bucket),
+                    "fetched": 0,
+                    "miss": 0,
+                    "edges": 0,
+                    "kept": 0,
+                    "drops": {},
+                    "phase_s": {},
+                }
+                if mw_ctx.stats:
+                    stats["mw"] = mw_ctx.stats
+                sc_path = os.path.join(
+                    self.fetched_dir, f"part-{part_key:06d}.stats.json"
+                )
+                with open(sc_path + ".tmp", "w") as f:
+                    json.dump(stats, f)
+                os.replace(sc_path + ".tmp", sc_path)
+                return empty
         urls = group["url"].to_pylist()
         pages = _read_bucket_pages(self.store_dir, bucket, urls)
         t_read = time.monotonic()
         joined = group.join(pages, keys="url", join_type="left outer")
         # deterministic artifact order within the bucket file
         joined = joined.sort_by([("priority", "descending"), ("order_key", "ascending")])
+        if self.mw.has("process_fetched"):
+            # downloader-mw process_response analogue, pre-parse: a dropped
+            # row is never parsed, so it contributes no edges (mirrors the
+            # reference where IgnoreRequest skips the spider callback)
+            joined = self.mw.run("process_fetched", joined, mw_ctx)
 
         j_urls = joined["url"].to_pylist()
         htmls = joined["html"].to_pylist()
@@ -265,6 +299,10 @@ class FetchParse:
             },
             schema=FETCHED_SCHEMA,
         )
+        if self.mw.has("process_items"):
+            # item-pipeline analogue: transform/drop artifact rows before the
+            # sink write (DropItem = filtered-out row)
+            fetched = self.mw.run("process_items", fetched, mw_ctx)
         out_path = os.path.join(self.fetched_dir, f"part-{part_key:06d}.parquet")
         pq.write_table(fetched, out_path + ".tmp")
         os.replace(out_path + ".tmp", out_path)  # idempotent on task retry
@@ -279,6 +317,10 @@ class FetchParse:
             },
             schema=EDGE_META_SCHEMA,
         )
+        if self.mw.has("process_edges"):
+            # spider-mw process_spider_output analogue: extracted edges
+            # before the candidate filter chain
+            edges = self.mw.run("process_edges", edges, mw_ctx)
         candidates = edges_to_candidates(edges, self.cfg)
         reasons = candidates["drop_reason"].to_numpy(zero_copy_only=False)
         kept = candidates.filter(pa.array(reasons == KEEP)).drop_columns(
@@ -324,6 +366,8 @@ class FetchParse:
                 "write": round(t_write - t_cand, 3),
             },
         }
+        if mw_ctx.stats:
+            stats["mw"] = mw_ctx.stats
         if self.cfg.autothrottle_enabled:
             # per-host observations for the AutoThrottle feedback loop (ST5):
             # host -> [sum_html_bytes, n_fetches, n_ok]; the engine converts
