@@ -57,6 +57,14 @@ import ray
 from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.fingerprint import fingerprint
 from scrupyst_ray.functions.hashing import hash_mod_batch, stable_hash64
+from scrupyst_ray.stages.exchange import (
+    EXCHANGE_EXT,
+    exchange_files,
+    exchange_rows,
+    read_exchange_dir,
+    read_exchange_file,
+    write_exchange,
+)
 from scrupyst_ray.stages.fetch import FetchParse, build_page_store
 from scrupyst_ray.stages.frontier import seeds_to_frontier
 from scrupyst_ray.state.shard import (
@@ -124,21 +132,20 @@ def _shard_gate_fn(
         if candidates_in_dir is not None:
             cdir = os.path.join(candidates_in_dir, f"shard-{shard_id:05d}")
             if os.path.isdir(cdir):
-                # one dataset-level read of the whole shard directory: Arrow
-                # parallelizes the per-file footer+data reads internally
-                # (measured 3× over a per-file loop on ~500 small files)
-                cands = pq.read_table(cdir)
-                if cands.num_rows:
+                cands = read_exchange_dir(cdir)
+                if cands is not None and cands.num_rows:
                     group = pa.concat_tables(
                         [group, cands], promote_options="default"
                     ).combine_chunks()
         deferred_in = None
         if deferred_in_dir is not None:
-            dpath = os.path.join(
-                deferred_in_dir, f"deferred-shard-{shard_id:05d}.parquet"
-            )
-            if os.path.exists(dpath):
-                deferred_in = pq.read_table(dpath)
+            for ext in (EXCHANGE_EXT, ".parquet"):  # .parquet = legacy resume
+                dpath = os.path.join(
+                    deferred_in_dir, f"deferred-shard-{shard_id:05d}{ext}"
+                )
+                if os.path.exists(dpath):
+                    deferred_in = read_exchange_file(dpath)
+                    break
         n = group.num_rows
         n_def = deferred_in.num_rows if deferred_in is not None else 0
         t_read = time.monotonic()
@@ -340,11 +347,13 @@ def _shard_gate_fn(
                     pa.array(np.ones(deferred.num_rows, bool), pa.bool_()),
                 )
                 os.makedirs(deferred_dir, exist_ok=True)
-                dpath = os.path.join(
-                    deferred_dir, f"deferred-shard-{shard_id:05d}.parquet"
+                write_exchange(
+                    deferred,
+                    os.path.join(
+                        deferred_dir,
+                        f"deferred-shard-{shard_id:05d}{EXCHANGE_EXT}",
+                    ),
                 )
-                pq.write_table(deferred, dpath + ".tmp")
-                os.replace(dpath + ".tmp", dpath)
 
         if stats_dir is not None:
             os.makedirs(stats_dir, exist_ok=True)
@@ -391,7 +400,7 @@ def _shard_gate_fn(
 
 def _write_sharded_candidates(ds, out_dir: str, num_shards: int, tag: str) -> None:
     """Write a frontier dataset as per-shard candidate files
-    (``out_dir/shard-K/from-<tag>.parquet``) — the same map-side-partitioned
+    (``out_dir/shard-K/from-<tag>.feather``) — the same map-side-partitioned
     layout the fetch stage emits, so the gate can always read its shard's
     rows without a shuffle."""
 
@@ -401,9 +410,7 @@ def _write_sharded_candidates(ds, out_dir: str, num_shards: int, tag: str) -> No
         shard_id = group["shard"][0].as_py()
         sdir = os.path.join(out_dir, f"shard-{shard_id:05d}")
         os.makedirs(sdir, exist_ok=True)
-        path = os.path.join(sdir, f"from-{tag}.parquet")
-        pq.write_table(group, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        write_exchange(group, os.path.join(sdir, f"from-{tag}{EXCHANGE_EXT}"))
         return pa.table({"shard": pa.array([shard_id], pa.int32())})
 
     os.makedirs(out_dir, exist_ok=True)
@@ -416,14 +423,9 @@ def _write_sharded_candidates(ds, out_dir: str, num_shards: int, tag: str) -> No
 
 
 def _parquet_rows(dir_path: str) -> int:
-    """Row count from parquet footers only (no data read); recurses into
-    per-shard subdirectories."""
-    total = 0
-    for root, _dirs, files in os.walk(dir_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
+    """Row count over a frontier exchange directory (resume-only fallback;
+    the live engine carries counts forward from task sidecars)."""
+    return exchange_rows(dir_path)
 
 
 @dataclass
@@ -721,7 +723,7 @@ class CrawlEngine:
 
         The frontier itself NEVER rides an all-to-all exchange: candidates
         are hash-partitioned by seen-shard at the map side (fetch tasks
-        write ``candidates/shard=K/from-<group>.parquet``) and each gate
+        write ``candidates/shard=K/from-<group>.feather``) and each gate
         task reads only its own shard's files — per-round shuffle volume is
         the ADMITTED set (politeness-bounded), not the candidate flood.
         All counters come from idempotent per-shard / per-group sidecar
@@ -749,8 +751,12 @@ class CrawlEngine:
                     work_shards.add(int(d[len("shard-") :]))
         if os.path.isdir(def_dir):
             for fname in os.listdir(def_dir):
-                if fname.startswith("deferred-shard-") and fname.endswith(".parquet"):
-                    work_shards.add(int(fname[len("deferred-shard-") : -8]))
+                stem, ext = os.path.splitext(fname)
+                if stem.startswith("deferred-shard-") and ext in (
+                    EXCHANGE_EXT,
+                    ".parquet",
+                ):
+                    work_shards.add(int(stem[len("deferred-shard-") :]))
         tickler_shards = sorted(work_shards)
         from scrupyst_ray.stages.frontier import FRONTIER_SCHEMA
 
@@ -798,7 +804,7 @@ class CrawlEngine:
             min(
                 cfg.fetch_buckets * FETCH_SPLIT // 2,
                 total_rows // 64,
-                2 * n_cpus,
+                4 * n_cpus,
             ),
         )
         store_dir = self.store_dir
@@ -889,14 +895,18 @@ class CrawlEngine:
             # fingerprints are already recorded in the seen set, so dropping
             # one would lose the URL forever.
             nc_dir = self._candidates_dir(n + 1)
-            files = [
-                os.path.join(root, f)
-                for root, _d, fs in os.walk(nc_dir)
-                for f in fs
-                if f.endswith(".parquet")
-            ]
+            files = exchange_files(nc_dir)
+
+            def _load(batch: pa.Table) -> pa.Table:
+                return pa.concat_tables(
+                    [read_exchange_file(p) for p in batch["path"].to_pylist()],
+                    promote_options="default",
+                )
+
             capped = (
-                ray.data.read_parquet(files)
+                ray.data.from_arrow(pa.table({"path": files}))
+                .repartition(max(1, min(len(files), 64)))
+                .map_batches(_load, batch_format="pyarrow")
                 .sort(["priority", "order_key"], descending=[True, False])
                 .limit(cfg.max_round_candidates)
             )

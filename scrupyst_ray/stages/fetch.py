@@ -40,6 +40,7 @@ from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.hashing import hash_mod_batch
 from scrupyst_ray.functions.links import LinkExtractorConfig, extract_links
 from scrupyst_ray.functions.textextract import detect_and_decode
+from scrupyst_ray.stages.exchange import EXCHANGE_EXT, write_exchange
 from scrupyst_ray.stages.frontier import EDGE_META_SCHEMA
 from scrupyst_ray.stages.middleware import MiddlewareContext, MiddlewarePipeline
 
@@ -139,14 +140,36 @@ def _cap_arrow_threads() -> None:
         _ARROW_POOL_CAPPED = True
 
 
+# Per-worker-process cache of opened bucket datasets: Ray reuses worker
+# processes across tasks and rounds, so the fragment discovery + parquet
+# footer parse for a bucket happens once per (worker, bucket) instead of
+# once per probe (measured ~15 cpu-s/round of repeated footer work at the
+# bench scale).  Keyed by (store_dir, bucket) — stores are immutable once
+# _STORE_COMPLETE exists.
+_BUCKET_DS_CACHE: dict[tuple[str, int], "pads.Dataset | None"] = {}
+
+
+def _bucket_dataset(store_dir: str, bucket: int):
+    key = (store_dir, bucket)
+    ds = _BUCKET_DS_CACHE.get(key, False)
+    if ds is False:
+        bucket_dir = os.path.join(store_dir, f"bucket={bucket}")
+        ds = (
+            pads.dataset(bucket_dir, format="parquet")
+            if os.path.isdir(bucket_dir)
+            else None
+        )
+        _BUCKET_DS_CACHE[key] = ds
+    return ds
+
+
 def _read_bucket_pages(store_dir: str, bucket: int, urls: list[str]) -> pa.Table:
     """Scan one bucket's fragments with an ``url ∈ urls`` pushdown filter."""
-    bucket_dir = os.path.join(store_dir, f"bucket={bucket}")
-    if not os.path.isdir(bucket_dir):
+    dataset = _bucket_dataset(store_dir, bucket)
+    if dataset is None:
         return pa.table(
             {"url": pa.array([], pa.string()), "warc_ts": pa.array([], pa.timestamp("us")), "html": pa.array([], pa.binary())}
         )
-    dataset = pads.dataset(bucket_dir, format="parquet")
     return dataset.to_table(
         columns=["url", "warc_ts", "html"],
         filter=pc.field("url").isin(urls),
@@ -195,7 +218,6 @@ class FetchParse:
         from scrupyst_ray.stages.frontier import (
             DROP_REASON_NAMES,
             FRONTIER_SCHEMA,
-            KEEP,
             edges_to_candidates,
         )
 
@@ -321,15 +343,8 @@ class FetchParse:
             # spider-mw process_spider_output analogue: extracted edges
             # before the candidate filter chain
             edges = self.mw.run("process_edges", edges, mw_ctx)
-        candidates = edges_to_candidates(edges, self.cfg)
-        reasons = candidates["drop_reason"].to_numpy(zero_copy_only=False)
-        kept = candidates.filter(pa.array(reasons == KEEP)).drop_columns(
-            ["drop_reason"]
-        )
-        drops = {
-            DROP_REASON_NAMES[int(r)]: int(c)
-            for r, c in zip(*np.unique(reasons[reasons != KEEP], return_counts=True))
-        }
+        kept, drop_counts = edges_to_candidates(edges, self.cfg)
+        drops = {DROP_REASON_NAMES[r]: c for r, c in drop_counts.items()}
         t_cand = time.monotonic()
         # Map-side partitioned exchange: write the kept candidates ALREADY
         # split by their owning seen/politeness shard, so next round's gate
@@ -345,9 +360,10 @@ class FetchParse:
                 sub = kept.filter(pa.array(shards_col == shard_id))
                 sdir = os.path.join(self.candidates_dir, f"shard-{shard_id:05d}")
                 os.makedirs(sdir, exist_ok=True)
-                path = os.path.join(sdir, f"from-{part_key:06d}.parquet")
-                pq.write_table(sub, path + ".tmp")
-                os.replace(path + ".tmp", path)
+                write_exchange(
+                    sub,
+                    os.path.join(sdir, f"from-{part_key:06d}{EXCHANGE_EXT}"),
+                )
         t_write = time.monotonic()
         stats = {
             "bucket": int(bucket),

@@ -28,10 +28,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.fingerprint import fingerprint
-from scrupyst_ray.functions.hashing import stable_hash64
+from scrupyst_ray.functions.hashing import hash_mod_batch, stable_hash64
 from scrupyst_ray.functions.urlnorm import (
     parse_host,
     safe_url_string,
@@ -154,83 +155,140 @@ EDGE_META_SCHEMA = pa.schema(
 )
 
 
-def edges_to_candidates(batch: pa.Table, cfg: CrawlConfig) -> pa.Table:
-    """Edge rows (``EDGE_META_SCHEMA``) → frontier rows + ``drop_reason``.
+def edges_to_candidates(
+    batch: pa.Table, cfg: CrawlConfig
+) -> tuple[pa.Table, dict[int, int]]:
+    """Edge rows (``EDGE_META_SCHEMA``) → (kept frontier rows, drop counts).
 
     Child depth/priority per the reference depth middleware
     (``spidermiddlewares/depth.py:87-90``): ``depth = parent + 1``,
     ``priority = -depth * DEPTH_PRIORITY`` (new Requests start at 0).
+
+    Fully vectorized (this runs once per edge — millions of rows per round):
+    filters are Arrow/numpy masks applied in the reference's precedence
+    order (nofollow → urllength → badurl → offsite → depth), the order key
+    is an element-wise binary join, hosts come from one RE2 extraction with
+    a per-row ``parse_host`` fallback only for the rows the fast pattern
+    rejects, and the shard/bucket routing hashes run once per DICTIONARY
+    value instead of once per row (hosts repeat heavily across edges).
     """
-    dsts = batch["dst"].to_pylist()
-    nofollows = batch["nofollow"].to_pylist()
-    link_idxs = batch["link_idx"].to_pylist()
-    parent_depths = batch["parent_depth"].to_pylist()
-    parent_keys = batch["parent_order_key"].to_pylist()
-
-    n = len(dsts)
-    urls = [""] * n
-    hosts = [""] * n
-    reason = np.zeros(n, dtype=np.int8)
-    depths = np.zeros(n, dtype=np.int32)
-    order_keys: list[bytes] = [b""] * n
-    allowed = cfg.allowed_domains
-    for i in range(n):
-        # link extractor already produced safe URLs (functions/links.py)
-        url = dsts[i]
-        urls[i] = url
-        depth = parent_depths[i] + 1
-        depths[i] = depth
-        order_keys[i] = parent_keys[i] + min(link_idxs[i], 0xFFFF).to_bytes(2, "big")
-        if nofollows[i] and not cfg.follow_nofollow:
-            reason[i] = DROP_NOFOLLOW
-            continue
-        if len(url) > cfg.urllength_limit:
-            reason[i] = DROP_URLLENGTH
-            continue
-        host = parse_host(url)
-        hosts[i] = host
-        if not host:
-            reason[i] = DROP_BADURL
-            continue
-        if allowed and not url_is_from_any_domain(url, allowed):
-            reason[i] = DROP_OFFSITE
-            continue
-        if cfg.depth_limit and depth > cfg.depth_limit:
-            reason[i] = DROP_DEPTH
-
-    keep_mask = reason == KEEP
-    keep_idx = np.flatnonzero(keep_mask)
-    table = _frontier_columns(
-        [urls[i] for i in keep_idx],
-        [hosts[i] for i in keep_idx],
-        depths=depths[keep_idx],
-        priorities=(-depths[keep_idx].astype(np.int64) * cfg.depth_priority),
-        order_keys=[order_keys[i] for i in keep_idx],
-        dont_filter=np.zeros(len(keep_idx), bool),
-        already_enqueued=np.zeros(len(keep_idx), bool),
-        is_start=np.zeros(len(keep_idx), bool),
-        cfg=cfg,
-        compute_fp=False,
-    )
-    # dropped rows travel with minimal columns so stats stay one groupby;
-    # they are filtered out before the shard shuffle.
-    dropped_idx = np.flatnonzero(~keep_mask)
-    drop_col = pa.array(
-        np.concatenate([np.zeros(len(keep_idx), np.int8), reason[dropped_idx]]),
-        pa.int8(),
-    )
-    if len(dropped_idx):
-        dropped = _frontier_columns(
-            [urls[i] for i in dropped_idx],
-            [hosts[i] for i in dropped_idx],
-            depths=depths[dropped_idx],
-            priorities=np.zeros(len(dropped_idx), np.int64),
-            order_keys=[order_keys[i] for i in dropped_idx],
-            dont_filter=np.zeros(len(dropped_idx), bool),
-            already_enqueued=np.zeros(len(dropped_idx), bool),
-            is_start=np.zeros(len(dropped_idx), bool),
-            cfg=cfg,
-            compute_keys=False,
+    n = batch.num_rows
+    empty_counts: dict[int, int] = {}
+    if n == 0:
+        return (
+            pa.table({k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA),
+            empty_counts,
         )
-        table = pa.concat_tables([table, dropped])
-    return table.append_column("drop_reason", drop_col)
+    dst = batch["dst"]
+    if isinstance(dst, pa.ChunkedArray):
+        dst = dst.combine_chunks()
+    reason = np.zeros(n, dtype=np.int8)
+
+    if not cfg.follow_nofollow:
+        nofollow = (
+            batch["nofollow"].to_numpy(zero_copy_only=False).astype(bool)
+        )
+        reason[nofollow] = DROP_NOFOLLOW
+
+    # Python len() counts code points, as does utf8_length
+    ulen = pc.utf8_length(dst).to_numpy(zero_copy_only=False)
+    reason[(reason == KEEP) & (ulen > cfg.urllength_limit)] = DROP_URLLENGTH
+
+    # hosts: one RE2 pass with the same charset/anchors as
+    # urlnorm._HOST_FAST_RE (RE2 has no lookahead, so the terminator is a
+    # consumed non-capturing group — same accepted language); rows the fast
+    # pattern rejects fall back to parse_host one by one (rare: non-lowercase
+    # or userinfo/port hosts)
+    ex = pc.extract_regex(
+        dst, pattern=r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[a-z0-9.\-]+)(?:[/?#]|$)"
+    )
+    hosts_arr = ex.field("h") if ex.type.num_fields else ex
+    null_mask = pc.is_null(hosts_arr).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        hosts_list = hosts_arr.to_pylist()
+        need = np.flatnonzero(null_mask & (reason == KEEP))
+        if need.size:
+            miss_urls = dst.take(pa.array(need)).to_pylist()
+            for i, u in zip(need, miss_urls):
+                hosts_list[i] = parse_host(u)
+        hosts_arr = pa.array(
+            [h if h is not None else "" for h in hosts_list], pa.string()
+        )
+    bad = pc.equal(hosts_arr, "").to_numpy(zero_copy_only=False)
+    reason[(reason == KEEP) & bad] = DROP_BADURL
+
+    if cfg.allowed_domains:
+        live = np.flatnonzero(reason == KEEP)
+        if live.size:
+            live_urls = dst.take(pa.array(live)).to_pylist()
+            off = [
+                int(i)
+                for i, u in zip(live, live_urls)
+                if not url_is_from_any_domain(u, cfg.allowed_domains)
+            ]
+            reason[off] = DROP_OFFSITE
+
+    depths = (
+        batch["parent_depth"].to_numpy(zero_copy_only=False).astype(np.int32)
+        + 1
+    )
+    if cfg.depth_limit:
+        reason[(reason == KEEP) & (depths > cfg.depth_limit)] = DROP_DEPTH
+
+    # order_key = parent_order_key + big-endian uint16 link index (crawl-order
+    # tie-break, identical bytes to the per-row .to_bytes concat)
+    li = np.minimum(
+        batch["link_idx"].to_numpy(zero_copy_only=False), 0xFFFF
+    ).astype(">u2")
+    sfx = pa.Array.from_buffers(
+        pa.binary(2), n, [None, pa.py_buffer(li.tobytes())]
+    ).cast(pa.binary())
+    pok = batch["parent_order_key"]
+    if isinstance(pok, pa.ChunkedArray):
+        pok = pok.combine_chunks()
+    order_key = pc.binary_join_element_wise(pok, sfx, pa.scalar(b"", pa.binary()))
+
+    keep = reason == KEEP
+    keep_pa = pa.array(keep)
+    k = int(keep.sum())
+    kept_urls = dst.filter(keep_pa)
+    kept_hosts = hosts_arr.filter(keep_pa)
+    kept_depths = depths[keep]
+
+    def _dict_hash_mod(arr: pa.Array, mod: int) -> np.ndarray:
+        enc = pc.dictionary_encode(arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        per_value = hash_mod_batch(enc.dictionary.to_pylist(), mod)
+        return per_value[enc.indices.to_numpy(zero_copy_only=False)]
+
+    kept = pa.table(
+        {
+            "url": kept_urls,
+            "host": kept_hosts,
+            "depth": pa.array(kept_depths, pa.int32()),
+            "priority": pa.array(
+                -kept_depths.astype(np.int64) * cfg.depth_priority, pa.int64()
+            ),
+            "order_key": order_key.filter(keep_pa),
+            "dont_filter": pa.array(np.zeros(k, bool), pa.bool_()),
+            "already_enqueued": pa.array(np.zeros(k, bool), pa.bool_()),
+            "is_start": pa.array(np.zeros(k, bool), pa.bool_()),
+            # fingerprints stay lazy (b""): the gate computes them AFTER
+            # within-round URL dedup — once per unique URL, not per edge
+            "fp": pa.nulls(k, pa.binary()).fill_null(b""),
+            "fp64": pa.array(np.zeros(k, np.uint64), pa.uint64()),
+            "shard": pa.array(
+                _dict_hash_mod(kept_hosts, cfg.seen_shards), pa.int32()
+            ),
+            "bucket": pa.array(
+                _dict_hash_mod(kept_urls, cfg.fetch_buckets), pa.int32()
+            ),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+    dropped = reason[~keep]
+    counts = {
+        int(r): int(c) for r, c in zip(*np.unique(dropped, return_counts=True))
+    }
+    return kept, counts

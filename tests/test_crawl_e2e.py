@@ -170,3 +170,22 @@ class TestCrawlE2E:
         t = res.fetched_dataset().to_pandas()
         fetched_hosts = set(t[t.status == 200].host)
         assert "host001.test" not in fetched_hosts
+
+    def test_candidate_cap_bounds_frontier(self, smoke_corpus, tmp_path):
+        """max_round_candidates: the per-round top-k keeps the next shuffle
+        bounded, preserves (priority desc, order_key) crawl-order winners,
+        and the crawl still completes."""
+        cfg = _cfg()
+        cfg.max_round_candidates = 25
+        eng = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "wdcap"), cfg
+        )
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res = eng.run(max_rounds=4)
+        eng.shutdown_actors()
+        assert res.total_fetched > 0
+        capped_rounds = [r for r in res.rounds if r.cap_s > 0]
+        assert capped_rounds, "cap never triggered — corpus/config drifted"
+        for r in capped_rounds:
+            # kept = capped new candidates (= exactly k) + deferred backlog
+            assert r.candidates_kept == 25 + r.deferred
