@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from scrupyst_ray.functions.urlnorm import (
     canonicalize_url,
+    make_joiner,
     safe_url_string,
     strip_html5_whitespace,
     url_has_any_extension,
@@ -86,12 +87,16 @@ class Link:
 
 
 class _AnchorParser(HTMLParser):
-    """Collect (href, rel, subtree-text) for <a>/<area>, in document order."""
+    """Collect (href, rel, subtree-text) for <a>/<area>, in document order.
 
-    def __init__(self) -> None:
+    *collect_text=False* skips anchor-text accumulation (the crawl hot path
+    never reads it; only the edges query surface and ``restrict_text`` do)."""
+
+    def __init__(self, collect_text: bool = True) -> None:
         super().__init__(convert_charrefs=True)
         self.anchors: list[list] = []  # [href, rel, [text chunks]] finalized lists
         self._open: list[list] = []  # stack of currently-open anchor entries
+        self._collect_text = collect_text
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in ("a", "area"):
@@ -100,7 +105,7 @@ class _AnchorParser(HTMLParser):
             if href is not None:
                 entry = [href, d.get("rel"), []]
                 self.anchors.append(entry)
-                if tag == "a":
+                if tag == "a" and self._collect_text:
                     self._open.append(entry)
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
@@ -170,9 +175,15 @@ def extract_links(
     response_url: str,
     response_encoding: str = "utf-8",
     config: LinkExtractorConfig = DEFAULT_EXTRACTOR,
+    collect_text: bool = True,
 ) -> list[Link]:
-    """All followable links of one decoded page, reference order & filters."""
-    parser = _AnchorParser()
+    """All followable links of one decoded page, reference order & filters.
+
+    *collect_text=False* returns links with empty ``text`` (crawl hot path;
+    incompatible with a ``restrict_text`` config, which reads the text)."""
+    if config._restrict_res:
+        collect_text = True
+    parser = _AnchorParser(collect_text=collect_text)
     try:
         parser.feed(text)
         parser.close()
@@ -180,12 +191,13 @@ def extract_links(
         pass  # recover what was parsed so far (lxml is similarly lenient)
     base_url = get_base_url(text, response_url)
     response_url_safe = safe_url_string(response_url)
+    join_base = make_joiner(base_url)
 
     links: list[Link] = []
     for href, rel, chunks in parser.anchors:
         try:
             attr_val = strip_html5_whitespace(href)
-            attr_val = urljoin(base_url, attr_val)
+            attr_val = join_base(attr_val)
         except ValueError:
             continue  # bogus link
         try:

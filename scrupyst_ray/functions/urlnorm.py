@@ -30,6 +30,7 @@ from urllib.parse import (
     unquote,
     unquote_to_bytes,
     urlencode,
+    urljoin,
     urlparse,
     urlsplit,
     urlunparse,
@@ -349,3 +350,65 @@ def url_is_from_any_domain(url: str, domains: list[str]) -> bool:
         return False
     domains = [d.lower() for d in domains]
     return any(host == d or host.endswith(f".{d}") for d in domains)
+
+
+# -- cached-base urljoin ------------------------------------------------------
+
+# base eligible for fast joins: clean absolute http(s) URL, no query/fragment,
+# no dot segments in the path
+_JOIN_BASE_RE = re.compile(r"^(https?://[^/?#]+)((?:/[^?#]*)?)$")
+# relative reference eligible for the prefix fast path: path segments without
+# ':' (a colon in the first segment would parse as a scheme), '?' query and
+# '#' fragment allowed
+# segments exclude ':' (scheme ambiguity) and ';' (bare-params dropping) and
+# must be nonempty (urljoin collapses empty segments); a bare trailing '?' or
+# '#' would be dropped by urljoin, so query/fragment must be nonempty
+_JOIN_REL_SEG = r"[A-Za-z0-9_\-.~%!$&'()*+,=@]+"
+_JOIN_REL_RE = re.compile(
+    rf"^{_JOIN_REL_SEG}(?:/{_JOIN_REL_SEG})*/?(?:\?[^#]+)?(?:#.+)?$"
+)
+# absolute reference for which urljoin is the identity: nonempty host, no
+# bare trailing '?' / '#' / ';' (urlunparse drops empty query/fragment/params)
+_JOIN_ABS_RE = re.compile(
+    r"^https?://[^/?#]+(?:/[^?#]*(?<![;/])|/)?(?:\?[^#]+)?(?:#.+)?$"
+)
+# root-relative reference: nonempty-or-bare path without a trailing ';' (the
+# bare-params drop), nonempty query/fragment if present; the caller also
+# rejects '/.' (dot segments) inside the captured path
+_JOIN_ROOT_RE = re.compile(r"^(/(?:[^?#]*(?<![;/]))?)(?:\?[^#]+)?(?:#.+)?$")
+
+
+def make_joiner(base_url: str):
+    """Return ``join(href) -> str`` equal to ``urljoin(base_url, href)`` but
+    with the base parsed ONCE — ``urljoin`` re-parses the base on every call,
+    which dominates link extraction on pages with many links.  Fast paths
+    cover plain relative paths, root-relative paths and already-absolute
+    http(s) references; every other shape (dot segments, protocol-relative,
+    other schemes, query/fragment-only refs) falls back to ``urljoin``
+    itself, so the result is always identical (property-tested)."""
+    m = _JOIN_BASE_RE.match(base_url)
+    if m is None or "/." in base_url:
+        return lambda href: urljoin(base_url, href)
+    root = m.group(1)
+    path = m.group(2)
+    base_dir = root + path[: path.rfind("/") + 1] if path else root + "/"
+
+    def join(href: str) -> str:
+        if not href:
+            return base_url
+        c0 = href[0]
+        if c0 == "/":
+            if href.startswith("//"):
+                return urljoin(base_url, href)
+            m2 = _JOIN_ROOT_RE.match(href)
+            if m2 is not None and "/." not in m2.group(1):
+                return root + href
+        elif c0 not in "?#.":
+            if _JOIN_REL_RE.match(href):
+                if "/." not in href and ".." not in href:
+                    return base_dir + href
+            elif _JOIN_ABS_RE.match(href):
+                return href
+        return urljoin(base_url, href)
+
+    return join

@@ -295,7 +295,9 @@ class FetchParse:
                 continue
             encoding, text = detect_and_decode(html)
             text_lens[i] = len(text)
-            links = extract_links(text, j_urls[i], encoding, self.extractor)
+            links = extract_links(
+                text, j_urls[i], encoding, self.extractor, collect_text=False
+            )
             n_links[i] = len(links)
             for li, link in enumerate(links):
                 e_dst.append(link.url)

@@ -146,3 +146,58 @@ def test_batch_explode():
         "http://h1.test/c",
     ]
     assert t["link_idx"].to_pylist() == [0, 1, 0]
+
+
+class TestMakeJoiner:
+    """make_joiner must equal urllib.parse.urljoin on EVERY input — the fast
+    paths may only trigger where the join is provably the identity/prefix."""
+
+    BASES = [
+        "http://h.test/a/b.html",
+        "https://x.example.com/",
+        "http://h.test/p/q/r/",
+        "http://h.test",
+        "http://h.test/a%20b/c.html?q=1",
+        "ftp://h/x/y",
+        "http://h.test/./d/e.html",
+    ]
+    ATOMS = [
+        "page7.html", "a", "a/b", "a/b/", "", ".", "..", "../x", "./x",
+        "x/./y", "x/../y", "/root.html", "//proto.test/p", "http://abs.test/q",
+        "https://abs.test", "HTTP://abs.test/u", "?q=2", "#frag", "a?b=c",
+        "a#f", "a?b=c#f", "a;p=1", "mailto:x@y", "javascript:void(0)", "x:y",
+        "a b", "a%2Fb", "http://abs.test/?", "http://abs.test/#", "%41",
+        "a.html?", "a.html#", "..//x", "a//b", "/..", "/a/../b", "/a//b",
+        "/x?", "/x#", "/x;", "a;", "http://abs.test/a;", "a.", "a./b", "x/",
+    ]
+
+    def test_atoms_match_urljoin(self):
+        from urllib.parse import urljoin
+
+        from scrupyst_ray.functions.urlnorm import make_joiner
+
+        for base in self.BASES:
+            j = make_joiner(base)
+            for href in self.ATOMS:
+                assert j(href) == urljoin(base, href), (base, href)
+
+    def test_fuzz_matches_urljoin(self):
+        import random
+        import string as st
+        from urllib.parse import urljoin
+
+        from scrupyst_ray.functions.urlnorm import make_joiner
+
+        rng = random.Random(1234)
+        chars = st.ascii_letters + st.digits + "/?#.%:@&=+,;~!$'()*-_ "
+        joiners = {b: make_joiner(b) for b in self.BASES}
+        for _ in range(20000):
+            base = rng.choice(self.BASES)
+            href = "".join(
+                rng.choice(chars) for _ in range(rng.randint(0, 30))
+            )
+            try:
+                exp = urljoin(base, href)
+            except ValueError:
+                continue
+            assert joiners[base](href) == exp, (base, href)
