@@ -39,6 +39,19 @@ def corpus_params(sf_dir: str) -> tuple[int, int]:
     return _CORPUS_BY_SF.get(name, (50, 200))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this sandbox is a shared VM
+    and hypervisor steal bursts can skew a leg by 30-40%; each measured run
+    reports its own steal%% so a contaminated run is visible."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
 def run_crawl_bench(
     sf_dir: str,
     workdir_tag: str = "",
@@ -104,9 +117,12 @@ def run_crawl_bench(
     setup_s = time.monotonic() - t0
 
     eng.init_frontier(os.path.join(corpus, "seeds.parquet"))
+    st0, tot0 = _cpu_ticks()
     t0 = time.monotonic()
     res = eng.run(max_rounds=rounds)
     crawl_s = time.monotonic() - t0
+    st1, tot1 = _cpu_ticks()
+    steal_pct = round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
     eng.shutdown_actors()
     fetched = res.total_fetched
     frontier_rows = sum(r.frontier for r in res.rounds)
@@ -119,6 +135,7 @@ def run_crawl_bench(
         "frontier_rows_per_sec": round(frontier_rows / crawl_s, 1),
         "corpus_gen_s": round(gen_s, 2),
         "store_setup_s": round(setup_s, 2),
+        "hypervisor_steal_pct": steal_pct,
         "corpus": {"hosts": H, "pages_per_host": P, "show": show},
         "budget": budget,
     }

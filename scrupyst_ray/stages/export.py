@@ -51,6 +51,11 @@ def export_dataset(
             )
         else:
             ds = ds.select_columns(list(fields))
+    if fmt in ("jsonl", "json", "csv", "xml"):
+        # text formats can't carry raw bytes: binary columns export as hex
+        # (the reference's exporters see str items; our artifact carries
+        # binary fingerprints/order keys)
+        ds = ds.map_batches(_binary_to_hex, batch_format="pyarrow")
     os.makedirs(path, exist_ok=True)
     kw = {}
     if batch_item_count:
@@ -66,6 +71,20 @@ def export_dataset(
     elif fmt == "xml":
         _write_single(ds, os.path.join(path, "items.xml"), _xml_bytes)
     return path
+
+
+def _binary_to_hex(batch):
+    """Binary columns → lowercase hex strings (text-format exports)."""
+    import pyarrow as pa
+
+    for i, f in enumerate(batch.schema):
+        if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type) or pa.types.is_fixed_size_binary(f.type):
+            vals = batch.column(i).to_pylist()
+            hexed = pa.array(
+                [v.hex() if v is not None else None for v in vals], pa.string()
+            )
+            batch = batch.set_column(i, f.name, hexed)
+    return batch
 
 
 def _write_single(ds, file_path: str, render: Callable[[list[dict]], bytes]) -> None:
