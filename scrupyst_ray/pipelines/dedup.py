@@ -89,7 +89,8 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128, k: int = 3):
                 {"doc_id": b["doc_id"], "sig": pa.array(sigs, pa.binary())}
             )
 
-    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=2)
+    # autoscaling actor pool: permutation constants build once per actor
+    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=(2, 16))
 
 
 def minhash_pairs(
