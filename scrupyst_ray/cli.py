@@ -72,6 +72,26 @@ def cmd_crawl(args) -> int:
     cfg = _config_from_args(args)
     eng = CrawlEngine.for_corpus(args.pages, args.workdir, cfg,
                                  store_dir=args.store_dir)
+    if args.seeds_from_sitemaps:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from scrupyst_ray.sources.sitemap_seeds import seeds_from_sitemaps
+
+        seeds = seeds_from_sitemaps(
+            args.pages,
+            args.seeds_from_sitemaps,
+            follow=args.sitemap_follow,
+            rules=args.sitemap_rules,
+        )
+        smp = os.path.join(args.workdir, "seeds.sitemap.parquet")
+        if not os.path.exists(smp):
+            tbl = pa.concat_tables(
+                [ray.get(r) for r in seeds.to_arrow_refs()]
+            )
+            pq.write_table(tbl, smp + ".tmp")
+            os.replace(smp + ".tmp", smp)
+        eng.init_frontier(smp)
     if args.seeds:
         seeds_path = args.seeds
         if not seeds_path.endswith(".parquet"):
@@ -149,6 +169,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seeds", default=None,
                    help="seed list (parquet/csv/jsonl with a url column); "
                         "omit when resuming an existing workdir")
+    c.add_argument("--seeds-from-sitemaps", nargs="*", default=None,
+                   metavar="URL",
+                   help="seed from sitemap documents in the page table "
+                        "(robots.txt urls contribute their Sitemap: lines) — "
+                        "the SitemapSpider start path")
+    c.add_argument("--sitemap-follow", nargs="*", default=None,
+                   help="regexes choosing which sitemapindex entries to "
+                        "follow (default: all)")
+    c.add_argument("--sitemap-rules", nargs="*", default=None,
+                   help="url regexes choosing which urlset entries seed "
+                        "(default: all)")
     c.add_argument("--workdir", required=True,
                    help="checkpoint dir (reference JOBDIR); reuse to resume")
     c.add_argument("--store-dir", default=None,
