@@ -38,6 +38,21 @@ Checkpoint layout (resume = reference JOBDIR contract,
 
 Every file write is tmp+rename and every actor method is idempotent per
 round, so a kill at ANY point resumes bit-identically (FIXTURES.md §5).
+
+Skew story (SURVEY §7.4 "hot-domain skew"):
+- The FETCH stage keys on url-hash sub-splits — perfectly balanced even for
+  a single-host crawl.
+- The GATE stage keys on host-shard, so one pathological host concentrates
+  its candidate volume in one task.  Three bounds keep that task finite:
+  per-page link dedup (M14) caps fan-out at unique links; the vectorized
+  two-pass dedup costs ~10 µs/row even on the hot shard; and
+  ``max_round_candidates`` caps the GLOBAL per-round candidate volume with
+  a priority top-k, so no shard can exceed the cap.  If a deployment needs
+  finer bounds, the salting hook is the candidate writer in
+  ``stages/fetch.py`` — write ``shard-K`` as ``shard-K.S`` salted sub-dirs
+  and give the hot shard S gate tasks whose per-salt winners a second
+  (tiny) pass merges; the budget draw already runs AFTER dedup, so
+  politeness semantics are unchanged.
 """
 
 from __future__ import annotations
