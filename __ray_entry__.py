@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": ann.embedding_neardup_pairs,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
+        "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
         "sitemap_entries": webops.sitemap_entries,
@@ -200,6 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "middleware_quality_gate": """
+            SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars
+            FROM documents
+            WHERE LENGTH(text) >= 200
+            ORDER BY doc_id
+        """,
         # NOTE on float aggregates: derived doubles are emitted as printf
         # fixed-decimal STRINGS on both sides — Arrow round and DuckDB ROUND
         # can differ by one ulp for the same decimal (see

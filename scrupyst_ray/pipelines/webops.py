@@ -220,3 +220,45 @@ def followup_frontier(sf_dir: str):
     return out.select_columns(
         ["url", "host", "depth", "priority", "dont_filter", "retry_times", "redirect_times"]
     ).sort("url")
+
+
+def middleware_quality_gate(sf_dir: str):
+    """§2.10 middleware chains as a data-pipeline operator: the documents
+    table through a priority-ordered batch-transform chain — a length gate
+    (item-filter analogue, DropItem = filtered row) then a projector adding
+    a computed column.  Ordering matters: the projector sees only survivors.
+    SQL-oracle-gated (filter + computed column are SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from scrupyst_ray.stages.middleware import MiddlewarePipeline
+
+    class LengthGate:
+        def __init__(self, min_chars: int):
+            self.min_chars = min_chars
+
+        def process_items(self, table: pa.Table, ctx) -> pa.Table:
+            keep = pc.greater_equal(
+                pc.utf8_length(table["text"]), self.min_chars
+            )
+            ctx.inc("quality/dropped", table.num_rows - pc.sum(keep).as_py())
+            return table.filter(keep)
+
+    class Projector:
+        def process_items(self, table: pa.Table, ctx) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": table["doc_id"],
+                    "lang": table["lang"],
+                    "text_chars": pc.cast(
+                        pc.utf8_length(table["text"]), pa.int64()
+                    ),
+                }
+            )
+
+    mw = MiddlewarePipeline({LengthGate(200): 100, Projector(): 200})
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    return ds.map_batches(
+        lambda b: mw.run("process_items", b), batch_format="pyarrow"
+    ).sort("doc_id")
