@@ -31,7 +31,11 @@ def _crawl_workdir() -> tuple[str, str]:
 
     corpus = corpus_cache_dir("/tmp", _CRAWL_H, _CRAWL_P)
     write_corpus(corpus, H=_CRAWL_H, P=_CRAWL_P)
-    wd = os.path.join("/tmp", f"scrupyst_crawl_H{_CRAWL_H}_P{_CRAWL_P}")
+    from scrupyst_ray.sources.corpus import CORPUS_VERSION
+
+    wd = os.path.join(
+        "/tmp", f"scrupyst_crawl_v{CORPUS_VERSION}_H{_CRAWL_H}_P{_CRAWL_P}"
+    )
     return corpus, wd
 
 

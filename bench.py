@@ -96,7 +96,11 @@ def run_crawl_bench(
     ).materialize()
 
     cfg = CrawlConfig(
-        seen_shards=32,
+        # one seen-shard actor per available core: a fixed 32 shards on an
+        # 8-core leg time-shares 4 actors per core and (measured, round 1)
+        # costs ~7% of the 8-cpu leg's throughput — which is exactly the
+        # scaling-efficiency denominator
+        seen_shards=NUM_CPUS,
         fetch_buckets=64,
         concurrent_requests_per_domain=budget,
         # headroom above the per-round candidate volume of the bench graph;
@@ -104,8 +108,12 @@ def run_crawl_bench(
         # rewrite to EVERY big round of the 400-host corpus
         max_round_candidates=4_000_000,
     )
+    from scrupyst_ray.sources.corpus import CORPUS_VERSION
+
     store_dir = os.path.join(
-        "/tmp", f"scrupyst_store_H{H}_P{P}_s{show}_b{cfg.fetch_buckets}_rg1k"
+        "/tmp",
+        f"scrupyst_store_v{CORPUS_VERSION}_H{H}_P{P}_s{show}"
+        f"_b{cfg.fetch_buckets}_rg1k",
     )
     wd = os.path.join("/tmp", f"scrupyst_bench_wd{workdir_tag}")
     shutil.rmtree(wd, ignore_errors=True)

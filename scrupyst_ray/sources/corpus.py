@@ -10,11 +10,14 @@ IGNORED extension / fragment / <base>-relative).
 
 Schema is exactly the BASELINE.json input hint:
 ``(url: string, warc_ts: timestamp[us], html: binary, text: string,
-lang: string)``.  ``text`` is the oracle column — the output of the
-byte-identical text extractor for ``html`` (the reference extractor cannot
-run in this environment: lxml/w3lib/scrapy are not installed, so the column
-is produced by our conformance-tested kernel,
-``scrupyst_ray.functions.textextract``).
+lang: string)``.  ``text`` is the oracle column — the EXPECTED decode of
+``html`` under the reference's resolution order
+(``scrapy/http/response/text.py:67-141``: BOM → meta/xml declaration →
+ascii/utf-8/cp1252 auto-detect → default), derived BY HAND in
+:func:`page_text` / :func:`robots_text` from independent string literals.
+It is deliberately NOT produced by ``scrupyst_ray.functions.textextract``
+(the kernel under test) — a broken decoder makes ``page_text_extract``'s
+``matches_oracle`` column go false (see ``tests/test_corpus_oracle.py``).
 
 Everything is a pure function of ``(h, n, H, P, show, xlink)`` — no RNG
 state, no wall clock — so any subset of rows can be regenerated
@@ -30,9 +33,10 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from scrupyst_ray.functions.textextract import extract_text
-
 EPOCH = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+# Bump when corpus CONTENT changes so stale /tmp caches regenerate.
+CORPUS_VERSION = 2
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -53,6 +57,21 @@ _FLAVOR_UTF8 = "héllo ünïcode wörld"
 _FLAVOR_CP1252 = b"\x93quoted\x94 caf\xe9"  # cp1252 curly quotes + é
 _FLAVOR_GB = "你好世界"
 _FLAVOR_ASCII = "plain ascii body text"
+
+# EXPECTED decoded text per flavor — independent literals, hand-derived from
+# the reference resolution order (scrapy/http/response/text.py:67-141 +
+# w3lib.encoding.html_to_unicode).  These are NOT computed by the kernel.
+#
+# (c) cp1252 declared, cp1252 bytes: \x93→U+201C, \x94→U+201D, \xe9→é.
+_FLAVOR_CP1252_TEXT = "“quoted” café"
+# (e) declared utf-8 but cp1252/truncated bytes.  w3lib replaces each
+# undecodable BYTE with its own U+FFFD (w3lib_replace handler), unlike
+# Python's builtin "replace" which collapses a maximal invalid subsequence
+# to ONE U+FFFD.  \x93 → 1×U+FFFD, \x94 → 1×U+FFFD, and the truncated
+# 2-byte prefix \xe2\x82 of a 3-byte € sequence → 2×U+FFFD (builtin
+# "replace" would give only 1 there — this cell discriminates the two).
+_FLAVOR_MISDECL = b"mis\x93declared\x94 tr\xe2\x82"
+_FLAVOR_MISDECL_TEXT = "mis�declared� tr��"
 
 
 def host_name(h: int) -> str:
@@ -116,11 +135,11 @@ def page_html(h: int, n: int, H: int, P: int, show: int = 3, xlink: int = 1) -> 
         return f"<html>{head}<body><p>{_FLAVOR_GB}</p>\n{anchors}</body></html>".encode(
             "gb18030"
         )
-    if mode == 4:  # (e) declared utf-8 but containing cp1252-only bytes
+    if mode == 4:  # (e) declared utf-8 but containing cp1252/truncated bytes
         head = f'<head><meta charset="utf-8"><title>{title}</title>{base}</head>'
         return (
-            f"<html>{head}<body><p>mis".encode("ascii")
-            + b"\x93declared\x94"
+            f"<html>{head}<body><p>".encode("ascii")
+            + _FLAVOR_MISDECL
             + f"</p>\n{anchors}</body></html>".encode("ascii")
         )
     if mode == 5:  # (f) pure ASCII, no declaration
@@ -134,6 +153,56 @@ def page_html(h: int, n: int, H: int, P: int, show: int = 3, xlink: int = 1) -> 
         "utf-8"
     )
     return (b"\xef\xbb\xbf" + raw) if mode == 1 else raw
+
+
+def page_text(h: int, n: int, H: int, P: int, show: int = 3, xlink: int = 1) -> str:
+    """EXPECTED extracted text for page (h, n) — the independent oracle.
+
+    Hand-derived per encoding mode from the reference resolution order
+    (``scrapy/http/response/text.py:67-141``), NOT by running the decode
+    kernel on :func:`page_html`'s bytes:
+
+    - mode 0 (utf-8, undeclared): no BOM/meta → auto-detect: ascii fails on
+      the é/ü bytes, utf-8 decodes strictly → lossless round-trip, so the
+      text is exactly the source string.
+    - mode 1 (utf-8 BOM): BOM wins, is stripped, rest decodes utf-8 →
+      identical to mode 0.
+    - mode 2 (meta cp1252, cp1252 bytes): declared encoding wins; cp1252
+      maps \\x93/\\x94/\\xe9 → the ``_FLAVOR_CP1252_TEXT`` literal.
+    - mode 3 (http-equiv gb18030, gb18030 bytes): declared wins; lossless
+      round-trip of the source string.
+    - mode 4 (declared utf-8, invalid bytes): declared wins; each
+      undecodable byte → one U+FFFD (``_FLAVOR_MISDECL_TEXT`` literal).
+    - mode 5 (pure ASCII, undeclared): auto-detect hits ascii, which the
+      w3lib web-compat table reports as cp1252; ASCII bytes decode
+      identically under cp1252 → the source string.
+    """
+    anchors = "\n".join(_anchors(h, n, H, P, show, xlink))
+    base = (
+        f'<base href="http://{host_name((h + 1) % H)}/based/">' if n % 10 == 0 else ""
+    )
+    mode = n % 6
+    title = f"host {h} page {n}"
+    if mode == 2:
+        head = f'<head><meta charset="cp1252"><title>{title}</title>{base}</head>'
+        flavor = _FLAVOR_CP1252_TEXT
+    elif mode == 3:
+        head = (
+            '<head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=gb18030">'
+            f"<title>{title}</title>{base}</head>"
+        )
+        flavor = _FLAVOR_GB
+    elif mode == 4:
+        head = f'<head><meta charset="utf-8"><title>{title}</title>{base}</head>'
+        flavor = _FLAVOR_MISDECL_TEXT
+    elif mode == 5:
+        head = f"<head><title>{title}</title>{base}</head>"
+        flavor = _FLAVOR_ASCII
+    else:  # modes 0 and 1 (BOM stripped by the header/BOM path)
+        head = f"<head><title>{title}</title>{base}</head>"
+        flavor = _FLAVOR_UTF8
+    return f"<html>{head}<body><p>{flavor}</p>\n{anchors}</body></html>"
 
 
 def robots_body(h: int, user_agent_token: str = "scrupyst-ray") -> bytes | None:
@@ -153,6 +222,30 @@ def robots_body(h: int, user_agent_token: str = "scrupyst-ray") -> bytes | None:
     return b"\xef\xbb\xbf\xff\xfe garbage \xfe\nUser-agent: *\nDisallow: /never\n"
 
 
+def robots_text(h: int, user_agent_token: str = "scrupyst-ray") -> str | None:
+    """EXPECTED extracted text for the robots row of host *h* (independent
+    oracle, hand-derived — see :func:`page_text`).
+
+    Modes 0–2 are pure ASCII (mode 2 empty → auto-detect ascii → "" text);
+    mode 3 has no row; mode 4 starts with a UTF-8 BOM (stripped), then the
+    stray bytes \\xff, \\xfe, \\xfe each decode to one U+FFFD under the
+    per-byte w3lib replacement.
+    """
+    mode = h % 5
+    if mode == 0:
+        return "User-agent: *\nDisallow: /follow?n=1\n"
+    if mode == 1:
+        return (
+            f"User-agent: {user_agent_token}\nDisallow: /\n\n"
+            "User-agent: *\nDisallow:\n"
+        )
+    if mode == 2:
+        return ""
+    if mode == 3:
+        return None
+    return "�� garbage �\nUser-agent: *\nDisallow: /never\n"
+
+
 def _row_index(h: int, n: int, P: int) -> int:
     return h * (P + 1) + n  # robots row is n=0
 
@@ -165,18 +258,23 @@ def page_rows(h: int, H: int, P: int, show: int, xlink: int) -> dict[str, list]:
     texts: list[str] = []
     langs: list[str] = []
 
-    def add(url: str, html: bytes, idx: int) -> None:
+    def add(url: str, html: bytes, text: str, idx: int) -> None:
         urls.append(url)
         ts.append(EPOCH + dt.timedelta(seconds=idx))
         htmls.append(html)
-        texts.append(extract_text(html))
+        texts.append(text)
         langs.append(_LANGS[idx % 3])
 
     rb = robots_body(h)
     if rb is not None:
-        add(robots_url(h), rb, _row_index(h, 0, P))
+        add(robots_url(h), rb, robots_text(h), _row_index(h, 0, P))
     for n in range(1, P + 1):
-        add(page_url(h, n), page_html(h, n, H, P, show, xlink), _row_index(h, n, P))
+        add(
+            page_url(h, n),
+            page_html(h, n, H, P, show, xlink),
+            page_text(h, n, H, P, show, xlink),
+            _row_index(h, n, P),
+        )
     return {"url": urls, "warc_ts": ts, "html": htmls, "text": texts, "lang": langs}
 
 
@@ -278,4 +376,6 @@ def write_corpus(
 
 
 def corpus_cache_dir(root: str, H: int, P: int, show: int = 3, xlink: int = 1) -> str:
-    return os.path.join(root, f"scrupyst_corpus_H{H}_P{P}_s{show}_x{xlink}")
+    return os.path.join(
+        root, f"scrupyst_corpus_v{CORPUS_VERSION}_H{H}_P{P}_s{show}_x{xlink}"
+    )
