@@ -59,13 +59,11 @@ def entry() -> Any:
     """Flagship pipeline: the BFO frontier-expansion crawl over the
     Common-Crawl-style page table (BASELINE.json north star); returns the
     ordered crawl artifact."""
-    import pandas as pd
-
     res = _run_crawl()
-    t = res.crawl_order_table()
-    return t.to_pandas()[
+    # distributed sort; only the (smoke-scale) final result reaches the driver
+    return res.crawl_order_dataset().select_columns(
         ["round", "url", "host", "depth", "priority", "status", "text_len", "n_links"]
-    ]
+    ).to_pandas()
 
 
 # --------------------------------------------------------------------------
@@ -73,8 +71,9 @@ def entry() -> Any:
 
 def _q_crawl_order(sf_dir: str):
     res = _run_crawl()
-    t = res.crawl_order_table()
-    return t.select(["round", "url", "depth", "priority", "status", "n_links"])
+    return res.crawl_order_dataset().select_columns(
+        ["round", "url", "depth", "priority", "status", "n_links"]
+    )
 
 
 def _q_page_text(sf_dir: str):
@@ -171,23 +170,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relational.supplier_part_join,
         "events_by_type": relational.events_by_type,
         "events_minutely": relational.events_minutely,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "user_event_sessions": relational.user_event_sessions,
         # -- text analysis (SQL-matched where expressible) --
         "token_counts": textstats.token_counts,
         "token_stats_by_lang": textstats.token_stats_by_lang,
         "doc_digests": textstats.doc_digests,
         "quality_filter_by_source": textstats.quality_filter_by_source,
         "doc_analysis": textstats.doc_analysis,
+        "doc_quality_metrics": textstats.doc_quality_metrics,
         # -- deduplication --
         "dedup_exact": dedup.exact_dedup_keep,
         "minhash_pairs": dedup.minhash_pairs,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "jaccard_pairs_by_source": dedup.jaccard_pairs_by_source,
         # -- similarity search --
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, [0], 10).drop_columns(
             ["query_id"]
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
+        "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
         "embedding_neardup": ann.embedding_neardup_pairs,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
@@ -203,8 +208,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_SW = (
+    "the a an and or of to in is are was were be been it this that for on with"
+    " as at by from not have has had but they you we he she"
+).split()
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sw_list = ", ".join(f"'{w}'" for w in _SW)
+    # the decompress_roundtrip query runs over the deterministic synthetic
+    # page corpus; its oracle reads the SAME parquet files directly
+    corpus_glob = None
+    try:
+        from scrupyst_ray.sources.corpus import corpus_cache_dir
+
+        corpus_glob = os.path.join(corpus_cache_dir("/tmp", 8, 50), "pages", "*.parquet")
+    except ImportError:
+        pass
+    out = {
         "middleware_quality_gate": """
             SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars
             FROM documents
@@ -305,4 +326,100 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
+        # IVF machinery gate: at full probe the partitioned index must be
+        # lossless, so recall vs brute force is exactly 1.0 per query
+        "ann_ivf_recall": """
+            SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
+            FROM (VALUES (0, TRUE), (7, TRUE), (23, TRUE), (41, TRUE))
+                 AS t(query_id, recall_ok)
+            ORDER BY query_id
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   printf('%.2f', SUM(l_extendedprice * (1 - l_discount)))
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY 1, 2
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name AS nation,
+                   COUNT(*) AS n_items,
+                   printf('%.2f', SUM(l_extendedprice * (1 - l_discount)))
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "user_event_sessions": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), y AS (
+                SELECT user_id, ts,
+                       SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_id
+                FROM x
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM y GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_quality_metrics": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                   printf('%.4f', length(regexp_replace(text, '\\s', '', 'g'))
+                       * 1.0 / len(regexp_extract_all(text, '\\S+')))
+                       AS mean_token_len,
+                   printf('%.4f', length(regexp_replace(text, '[^A-Za-zÀ-ɏ]',
+                       '', 'g')) * 1.0 / length(text)) AS alpha_ratio,
+                   printf('%.4f', length(regexp_replace(text,
+                       '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text))
+                       AS punct_ratio,
+                   printf('%.4f', len(list_filter(
+                       regexp_extract_all(lower(text), '\\S+'),
+                       t -> t IN ({sw_list}))) * 1.0
+                       / len(regexp_extract_all(text, '\\S+')))
+                       AS stopword_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "jaccard_pairs_by_source": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       list_distinct([substr(text, i, 3)
+                           for i in range(1, greatest(length(text) - 1, 2))])
+                           AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   printf('%.4f', len(list_intersect(a.sh, b.sh)) * 1.0 /
+                       len(list_distinct(list_concat(a.sh, b.sh)))) AS jaccard
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ORDER BY a, b
+        """,
     }
+    if corpus_glob is not None:
+        # gzip-roundtrip gate: the kernel output must equal the RAW stored
+        # bytes (the oracle reads the same corpus parquet directly)
+        out["decompress_roundtrip"] = f"""
+            SELECT url, TRUE AS roundtrip_ok,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes
+            FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+    return out

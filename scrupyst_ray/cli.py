@@ -70,47 +70,71 @@ def cmd_crawl(args) -> int:
     from scrupyst_ray.pipelines.crawl import CrawlEngine
 
     cfg = _config_from_args(args)
+    if args.seeds and args.seeds_from_sitemaps:
+        # the frontier init is idempotent, so the second call would be a
+        # silent no-op — refuse instead of ignoring --seeds (ADVICE r1)
+        print(
+            "error: --seeds and --seeds-from-sitemaps are mutually "
+            "exclusive (the frontier is initialized once)",
+            file=sys.stderr,
+        )
+        if owns_session:
+            ray.shutdown()
+        return 2
     eng = CrawlEngine.for_corpus(args.pages, args.workdir, cfg,
                                  store_dir=args.store_dir)
-    if args.seeds_from_sitemaps:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
 
+    def _derived_seeds(path: str, spec: str, build) -> str:
+        """Build (or reuse) a derived seed parquet; a sidecar records the
+        source spec so a rerun with different seed args rebuilds instead of
+        silently crawling the old list (ADVICE r1)."""
+        sidecar = path + ".src"
+        if not (
+            os.path.exists(path)
+            and os.path.exists(sidecar)
+            and open(sidecar).read() == spec
+        ):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.concat_tables([ray.get(r) for r in build().to_arrow_refs()])
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            with open(sidecar + ".tmp", "w") as f:
+                f.write(spec)
+            os.replace(sidecar + ".tmp", sidecar)
+        return path
+
+    if args.seeds_from_sitemaps:
         from scrupyst_ray.sources.sitemap_seeds import seeds_from_sitemaps
 
-        seeds = seeds_from_sitemaps(
-            args.pages,
-            args.seeds_from_sitemaps,
-            follow=args.sitemap_follow,
-            rules=args.sitemap_rules,
+        spec = (
+            f"sitemaps={args.seeds_from_sitemaps!r} "
+            f"follow={args.sitemap_follow!r} rules={args.sitemap_rules!r}"
         )
-        smp = os.path.join(args.workdir, "seeds.sitemap.parquet")
-        if not os.path.exists(smp):
-            tbl = pa.concat_tables(
-                [ray.get(r) for r in seeds.to_arrow_refs()]
-            )
-            pq.write_table(tbl, smp + ".tmp")
-            os.replace(smp + ".tmp", smp)
+        smp = _derived_seeds(
+            os.path.join(args.workdir, "seeds.sitemap.parquet"),
+            spec,
+            lambda: seeds_from_sitemaps(
+                args.pages,
+                args.seeds_from_sitemaps,
+                follow=args.sitemap_follow,
+                rules=args.sitemap_rules,
+            ),
+        )
         eng.init_frontier(smp)
     if args.seeds:
         seeds_path = args.seeds
         if not seeds_path.endswith(".parquet"):
             # csv / jsonl seed lists go through the reader registry (S2) and
             # land as a parquet file the engine's idempotent init consumes
-            import pyarrow.parquet as pq
-
             from scrupyst_ray.sources.readers import read_seeds
 
-            tmp = os.path.join(args.workdir, "seeds.norm.parquet")
-            if not os.path.exists(tmp):
-                t = read_seeds(seeds_path).to_arrow_refs()
-                import pyarrow as pa
-                import ray as _ray
-
-                tbl = pa.concat_tables([_ray.get(r) for r in t])
-                pq.write_table(tbl, tmp + ".tmp")
-                os.replace(tmp + ".tmp", tmp)
-            seeds_path = tmp
+            seeds_path = _derived_seeds(
+                os.path.join(args.workdir, "seeds.norm.parquet"),
+                f"seeds={args.seeds!r} mtime={os.path.getmtime(args.seeds)}",
+                lambda: read_seeds(args.seeds),
+            )
         eng.init_frontier(seeds_path)
     res = eng.run(max_rounds=args.max_rounds or None)
     eng.shutdown_actors()

@@ -396,6 +396,11 @@ def make_joiner(base_url: str):
     def join(href: str) -> str:
         if not href:
             return base_url
+        if "\t" in href or "\n" in href or "\r" in href:
+            # urlsplit strips ASCII tab/newline anywhere in the URL (WHATWG
+            # rule) — the fast-path regexes would keep them, diverging from
+            # urljoin, so these always take the stdlib path
+            return urljoin(base_url, href)
         c0 = href[0]
         if c0 == "/":
             if href.startswith("//"):

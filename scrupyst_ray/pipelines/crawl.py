@@ -489,20 +489,35 @@ class CrawlResult:
                 )
         return ray.data.read_parquet(paths)
 
-    def crawl_order_table(self) -> pa.Table:
-        """Small-scale helper: the full crawl order as one sorted table."""
-        t = self.fetched_dataset().to_arrow_refs()
-        tables = [ray.get(r) for r in t]
-        merged = pa.concat_tables([tb for tb in tables if tb.num_rows])
-        return merged.take(
-            pc.sort_indices(
-                merged,
-                sort_keys=[
-                    ("round", "ascending"),
-                    ("priority", "descending"),
-                    ("order_key", "ascending"),
-                ],
-            )
+    def crawl_order_dataset(self) -> "ray.data.Dataset":
+        """The crawl-order artifact as a DISTRIBUTED sorted dataset
+        ((round, -priority, order_key) — the engine's total order).  The
+        sort is Ray Data's sample-partitioned shuffle; nothing lands on the
+        driver.  Consume with ``write_parquet`` / ``limit`` / ``to_pandas``
+        on the (small) final result."""
+        return self.fetched_dataset().sort(
+            ["round", "priority", "order_key"],
+            descending=[False, True, False],
+        )
+
+    def write_crawl_order(self, out_dir: str | None = None) -> str:
+        """Persist the sorted crawl-order artifact as partitioned parquet
+        (the 100 TB-scale consume path — the driver never holds the rows)."""
+        out_dir = out_dir or os.path.join(self.workdir, "crawl_order")
+        self.crawl_order_dataset().write_parquet(out_dir)
+        return out_dir
+
+    def crawl_order_table(self, limit: int | None = None) -> pa.Table:
+        """Small-result helper: the first *limit* rows (default: all — only
+        for smoke/test scale) of the distributed crawl order.  The sort runs
+        distributed (``crawl_order_dataset``); only the requested rows reach
+        the driver."""
+        ds = self.crawl_order_dataset()
+        if limit is not None:
+            ds = ds.limit(limit)
+        tables = ds.to_arrow_refs()
+        return pa.concat_tables(
+            [t for t in (ray.get(r) for r in tables) if t.num_rows]
         )
 
 

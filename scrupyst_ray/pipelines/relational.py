@@ -22,6 +22,12 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from scrupyst_ray.pipelines.joins import (
+    attach_from_lookup,
+    broadcast_lookup,
+    dist_join,
+)
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(
@@ -38,9 +44,16 @@ def _round_cols(batch: pa.Table, cols: dict[str, int]) -> pa.Table:
     is bit-identical on both sides."""
     for name, digits in cols.items():
         idx = batch.column_names.index(name)
-        vals = batch[name].to_pylist()
-        fmt = [("" if v is None else f"{v:.{digits}f}") for v in vals]
-        batch = batch.set_column(idx, name, pa.array(fmt, pa.string()))
+        col = batch[name]
+        vals = col.to_numpy(zero_copy_only=False)
+        fmt = np.char.mod(f"%.{digits}f", vals)  # vectorized C formatting
+        arr = pa.array(fmt, pa.string())
+        nulls = col.is_null().combine_chunks() if isinstance(
+            col, pa.ChunkedArray
+        ) else col.is_null()
+        if pc.any(nulls).as_py():
+            arr = pc.if_else(nulls, pa.scalar(None, pa.string()), arr)
+        batch = batch.set_column(idx, name, arr)
     return batch
 
 
@@ -98,18 +111,15 @@ def orders_by_segment(sf_dir: str):
     the rows of orders; at 100 TB the same pattern ships the dict once per
     node via the object store instead of shuffling orders)."""
     customer = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_table = pa.concat_tables(ray.get(customer.to_arrow_refs()))
-    seg_map = dict(
-        zip(cust_table["c_custkey"].to_pylist(), cust_table["c_mktsegment"].to_pylist())
-    )
-    seg_ref = ray.put(seg_map)
+    seg_ref = broadcast_lookup(customer, "c_custkey", "c_mktsegment")
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def attach(batch: pa.Table, *, seg=None) -> pa.Table:
-        m = ray.get(seg_ref)
-        segs = [m.get(k, "") for k in batch["o_custkey"].to_pylist()]
-        return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+    def attach(batch: pa.Table) -> pa.Table:
+        # vectorized broadcast-join: pc.index_in + take (no per-row dict.get)
+        return attach_from_lookup(
+            batch, "o_custkey", "c_mktsegment", seg_ref, fill=""
+        )
 
     out = (
         orders.map_batches(attach, batch_format="pyarrow")
@@ -175,19 +185,14 @@ def supplier_part_join(sf_dir: str):
     cols = part.schema().names
     key_col = "p_partkey"
     brand_col = "p_brand" if "p_brand" in cols else cols[1]
-    pt = pa.concat_tables(ray.get(part.select_columns([key_col, brand_col]).to_arrow_refs()))
-    brand_map = dict(zip(pt[key_col].to_pylist(), pt[brand_col].to_pylist()))
-    ref = ray.put(brand_map)
+    ref = broadcast_lookup(part, key_col, brand_col)
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def attach(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        brands = [m.get(k, "") for k in b["l_partkey"].to_pylist()]
+        b = attach_from_lookup(b, "l_partkey", "brand", ref, fill="")
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table(
-            {"brand": pa.array(brands, pa.string()), "revenue": rev}
-        )
+        return pa.table({"brand": b["brand"], "revenue": rev})
 
     out = (
         li.map_batches(attach, batch_format="pyarrow")
@@ -200,3 +205,147 @@ def supplier_part_join(sf_dir: str):
         return _round_cols(b, {"revenue": 2})
 
     return out.map_batches(finish, batch_format="pyarrow").sort("brand")
+
+
+def q3_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1997-06-01"
+):
+    """TPC-H Q3 shape: filtered customer semi-join → orders ⨝ lineitem via a
+    DISTRIBUTED hash join → revenue per order, top 10.
+
+    The mid-size⨝large join uses ``Dataset.join`` (both sides shuffle on the
+    order key — partition-bounded state); the tiny customer side is a
+    broadcast ``is_in`` filter pushed into the orders scan."""
+    import datetime as dt
+
+    cut = dt.datetime.fromisoformat(cutoff)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], segment)).select(["c_custkey"])
+
+    keys = pa.concat_tables(
+        ray.get(cust.map_batches(seg_keys, batch_format="pyarrow").to_arrow_refs())
+    )["c_custkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        keep = pc.and_(
+            pc.less(b["o_orderdate"], pa.scalar(cut)),
+            pc.is_in(b["o_custkey"], value_set=k),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def filt_li(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["l_shipdate"], pa.scalar(cut))
+        b = b.filter(keep)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev})
+
+    joined = dist_join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        li.map_batches(filt_li, batch_format="pyarrow"),
+        "inner",
+        ("o_orderkey",),
+        ("l_orderkey",),
+    )
+    out = (
+        joined.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate", "revenue"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue"))
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "o_orderdate", "revenue"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
+    )
+
+
+def revenue_by_nation(sf_dir: str):
+    """lineitem ⨝ supplier ⨝ nation → revenue per nation name.  The two dim
+    tables are tiny: composed driver-side into one (s_suppkey → n_name)
+    lookup, broadcast once, attached vectorized per batch."""
+    sup = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_arrow_refs()
+        )
+    )
+    nat = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_arrow_refs())
+    )
+    idx = pc.index_in(sup["s_nationkey"], value_set=nat["n_nationkey"].combine_chunks())
+    sup_nation = pc.take(nat["n_name"].combine_chunks(), idx.combine_chunks())
+    ref = ray.put((sup["s_suppkey"].combine_chunks(), sup_nation))
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def attach(b: pa.Table) -> pa.Table:
+        b = attach_from_lookup(b, "l_suppkey", "nation", ref, fill="")
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"nation": b["nation"], "revenue": rev})
+
+    out = (
+        li.map_batches(attach, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Count(), Sum("revenue"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["nation", "n_items", "revenue"])
+        return _round_cols(b, {"revenue": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("nation")
+
+
+def user_event_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (SURVEY.md §2.9 streaming analog): per-user event
+    stream split where the inter-event gap exceeds *gap_minutes* →
+    (user_id, session_id, n_events, session_start, session_end).
+
+    Scale shape: ``groupby(user_id).map_groups`` — state is bounded by one
+    user's events; the session split inside the group is vectorized
+    (np.diff over int64 timestamps)."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def sessions(g: pa.Table) -> pa.Table:
+        user = g["user_id"][0].as_py()
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False)).astype(
+            "datetime64[us]"
+        )
+        tsi = ts.view(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], np.diff(tsi) > gap_us))
+        )
+        ends = np.append(starts[1:], len(tsi))
+        return pa.table(
+            {
+                "user_id": pa.array([user] * len(starts), pa.int64()),
+                "session_id": pa.array(np.arange(len(starts)), pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "session_start": pa.array(ts[starts], pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1], pa.timestamp("us")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pyarrow")
+        .sort(["user_id", "session_id"])
+    )

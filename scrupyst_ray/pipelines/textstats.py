@@ -102,6 +102,63 @@ def quality_filter_by_source(sf_dir: str, min_chars: int = 100, min_alpha: float
     ).sort("source")
 
 
+def doc_quality_metrics(sf_dir: str):
+    """(doc_id, n_tokens, mean_token_len, alpha_ratio, punct_ratio,
+    stopword_ratio) — the C4/Gopher-style cheap quality features, each
+    defined in terms BOTH sides can express identically (DuckDB oracle in
+    ``__ray_entry__.oracle_sql``): tokens are ``\\S+`` matches, character
+    classes are explicit ASCII/Latin ranges, ratios are int/int divisions
+    formatted ``%.4f``."""
+    import re
+
+    from scrupyst_ray.functions.textstats import _EN_STOPWORDS
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    token_re = re.compile(r"\S+")
+
+    def metrics(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        n_tok = pc.count_substring_regex(b["text"], pattern=r"\S+")
+        nonws = pc.utf8_length(
+            pc.replace_substring_regex(b["text"], pattern=r"\s", replacement="")
+        )
+        alpha = pc.count_substring_regex(b["text"], pattern=r"[A-Za-zÀ-ɏ]")
+        punct = pc.count_substring_regex(b["text"], pattern=r"[!-/:-@\[-`{-~]")
+        n_chars = pc.utf8_length(b["text"])
+        # stopword hits need exact token-set membership (no Arrow kernel);
+        # compiled regex + frozenset per row, inside the batch
+        sw_hits = [
+            sum(1 for t in token_re.findall(txt.lower()) if t in _EN_STOPWORDS)
+            for txt in texts
+        ]
+        nt = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = nonws.to_numpy(zero_copy_only=False).astype(np.int64)
+        al = alpha.to_numpy(zero_copy_only=False).astype(np.int64)
+        pu = punct.to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def ratio(num, den, digits=4):
+            return [
+                (None if d == 0 else f"{n / d:.{digits}f}")
+                for n, d in zip(num, den)
+            ]
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "mean_token_len": pa.array(ratio(nw, nt), pa.string()),
+                "alpha_ratio": pa.array(ratio(al, nc), pa.string()),
+                "punct_ratio": pa.array(ratio(pu, nc), pa.string()),
+                "stopword_ratio": pa.array(
+                    ratio(np.asarray(sw_hits, np.int64), nt), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_analysis(sf_dir: str):
     """Rows-only per-doc analysis: BPE-ish token count, quality score,
     language-ID prediction, rolling-hash fingerprint — the heuristic kernels

@@ -76,10 +76,11 @@ def decompress_roundtrip(sf_dir: str):
 
 def referer_edges(sf_dir: str):
     """M8 referer policy: the Referer value each extracted edge would carry
-    under the reference default policy and under strict-origin."""
+    under EVERY reference policy (all 9, ``referer.py:108-306``), one column
+    per policy."""
     from scrupyst_ray.functions.textextract import detect_and_decode
     from scrupyst_ray.functions.links import extract_links_batch
-    from scrupyst_ray.functions.referer import referer_for
+    from scrupyst_ray.functions.referer import POLICIES, referer_for
 
     ds = _pages(["url", "html"])
 
@@ -91,20 +92,13 @@ def referer_edges(sf_dir: str):
         )
         src = e["src"].to_pylist()
         dst = e["dst"].to_pylist()
-        return pa.table(
-            {
-                "src": e["src"],
-                "dst": e["dst"],
-                "link_idx": e["link_idx"],
-                "referer_default": pa.array(
-                    [referer_for(s, d) for s, d in zip(src, dst)], pa.string()
-                ),
-                "referer_strict_origin": pa.array(
-                    [referer_for(s, d, policy="strict-origin") for s, d in zip(src, dst)],
-                    pa.string(),
-                ),
-            }
-        )
+        cols = {"src": e["src"], "dst": e["dst"], "link_idx": e["link_idx"]}
+        for p in POLICIES:
+            cols[f"referer_{p.replace('-', '_')}"] = pa.array(
+                [referer_for(s, d, policy=p) for s, d in zip(src, dst)],
+                pa.string(),
+            )
+        return pa.table(cols)
 
     return ds.map_batches(edges, batch_format="pyarrow").sort(["src", "link_idx"])
 
@@ -184,9 +178,10 @@ def csvfeed_rows(sf_dir: str):
 
 
 def followup_frontier(sf_dir: str):
-    """M9/M10 redirect+retry re-emission: synthetic per-url statuses (3xx
-    with Location, retryable 5xx, plain 200) derived deterministically from
-    the page index, flat-mapped into next-round frontier rows."""
+    """M9/M10 redirect+retry+meta-refresh re-emission: synthetic per-url
+    statuses (3xx with Location, retryable 5xx, 200 with a meta-refresh
+    body, plain 200) derived deterministically from the page index,
+    flat-mapped into next-round frontier rows."""
     from scrupyst_ray.functions.hashing import stable_hash64
     from scrupyst_ray.stages.followup import followups_batch
 
@@ -194,23 +189,35 @@ def followup_frontier(sf_dir: str):
 
     def synth(b: pa.Table) -> pa.Table:
         urls = b["url"].to_pylist()
-        status, redirect = [], []
+        status, redirect, text = [], [], []
         for u in urls:
             k = stable_hash64(u) % 10
             if k == 0:
                 status.append(301)
                 redirect.append(f"/moved?k={stable_hash64(u) % 97}")
+                text.append(None)
             elif k == 1:
                 status.append(503)
                 redirect.append(None)
+                text.append(None)
+            elif k == 2:
+                status.append(200)
+                redirect.append(None)
+                text.append(
+                    '<html><head><meta http-equiv="refresh" '
+                    f'content="0;url=/refreshed?k={stable_hash64(u) % 89}">'
+                    "</head></html>"
+                )
             else:
                 status.append(200)
                 redirect.append(None)
+                text.append(None)
         return pa.table(
             {
                 "url": b["url"],
                 "status": pa.array(status, pa.int32()),
                 "redirect_to": pa.array(redirect, pa.string()),
+                "text": pa.array(text, pa.string()),
             }
         )
 

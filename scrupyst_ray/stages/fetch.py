@@ -159,7 +159,11 @@ def _bucket_dataset(store_dir: str, bucket: int):
             if os.path.isdir(bucket_dir)
             else None
         )
-        _BUCKET_DS_CACHE[key] = ds
+        # Cache ONLY when the store's completeness marker exists: a probe
+        # that races a store (re)build would otherwise pin None / a stale
+        # fragment list for the worker's lifetime (ADVICE r1).
+        if os.path.exists(os.path.join(store_dir, "_STORE_COMPLETE")):
+            _BUCKET_DS_CACHE[key] = ds
     return ds
 
 

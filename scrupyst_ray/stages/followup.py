@@ -12,6 +12,12 @@ become flat-map stages over a fetched table with synthetic ``status`` /
   status ∈ RETRY_HTTP_CODES ⇒ re-emit the SAME url with
   ``retry_times + 1`` (≤ RETRY_TIMES=2), ``dont_filter=True``,
   ``priority - 1`` (RETRY_PRIORITY_ADJUST, ``default_settings.py:467``).
+- meta refresh (reference ``redirect.py:184-212``): when the row carries a
+  decoded ``text`` column and neither middleware above fired, a
+  ``<meta http-equiv=refresh>`` with interval < 100 re-emits the target as
+  a redirect (same priority adjust / cap; reason "meta refresh").  Status
+  redirects win because process_response runs highest-priority-first and
+  RedirectMiddleware (600) precedes MetaRefreshMiddleware (580).
 
 Both emit rows in the frontier schema (plus retry/redirect counters) that the
 driver unions into the next round.
@@ -27,6 +33,7 @@ import pyarrow as pa
 from scrupyst_ray.config import CrawlConfig
 from scrupyst_ray.functions.fingerprint import fingerprint
 from scrupyst_ray.functions.hashing import stable_hash64
+from scrupyst_ray.functions.metarefresh import meta_refresh_target
 from scrupyst_ray.functions.urlnorm import parse_host, safe_url_string
 from scrupyst_ray.stages.frontier import FRONTIER_SCHEMA
 
@@ -100,6 +107,9 @@ def followups_batch(batch: pa.Table, cfg: CrawlConfig | None = None) -> pa.Table
         if "redirect_times" in batch.column_names
         else [0] * n
     )
+    texts = (
+        batch["text"].to_pylist() if "text" in batch.column_names else [None] * n
+    )
 
     rows: list[dict] = []
     rt_out: list[int] = []
@@ -137,6 +147,22 @@ def followups_batch(batch: pa.Table, cfg: CrawlConfig | None = None) -> pa.Table
             )
             rt_out.append(retry_times[i] + 1)
             rd_out.append(redirect_times[i])
+        elif texts[i]:
+            target = meta_refresh_target(texts[i], urls[i])
+            if target is None or redirect_times[i] >= REDIRECT_MAX_TIMES:
+                continue
+            rows.append(
+                _mk_row(
+                    target,
+                    depths[i],
+                    prios[i] + REDIRECT_PRIORITY_ADJUST,
+                    keys[i] + b"\xff\xfc",  # meta-refresh marker suffix
+                    dont_filter=False,
+                    cfg=cfg,
+                )
+            )
+            rt_out.append(retry_times[i])
+            rd_out.append(redirect_times[i] + 1)
 
     cols: dict[str, list] = {name: [] for name in FRONTIER_SCHEMA.names}
     for r in rows:

@@ -90,6 +90,47 @@ class TestANN:
         assert (p.a < p.b).all()
         assert (p.cos.astype(float) >= 0.35).all()
 
+    def test_neardup_cells_match_exact_all_pairs(self):
+        """The cell-routed candidate generation must not lose any pair vs
+        the exact O(N²) definition at test scale."""
+        from scrupyst_ray.pipelines.ann import embedding_neardup_pairs
+
+        p = embedding_neardup_pairs(SF, threshold=0.35).to_pandas()
+        exact = duckdb.sql(
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{SF}/embeddings.parquet')) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "printf('%.4f', list_cosine_similarity(a.v, b.v)) AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.35 ORDER BY a, b"
+        ).fetchdf()
+        assert p.reset_index(drop=True).equals(exact.reset_index(drop=True))
+
+    def test_ivf_full_probe_is_exact(self):
+        """Probing every cell must reproduce brute force EXACTLY (ids and
+        order) — proves the partitioned store is lossless and the probe
+        path re-ranks identically."""
+        from scrupyst_ray.pipelines.ann import brute_force_topk, ivf_recall, ivf_topk
+
+        bf = brute_force_topk(SF, [0, 7], 10)
+        iv = ivf_topk(SF, [0, 7], 10, n_clusters=16, nprobe=16)
+        assert bf["vec_id"].to_pylist() == iv["vec_id"].to_pylist()
+        r = ivf_recall(SF, [0, 7, 23], 10)
+        assert r["recall_ok"].to_pylist() == [True, True, True]
+
+    def test_ivf_store_partitions_on_disk(self):
+        """The index is a one-time hive-partitioned store; a probe reads
+        only its cells' files."""
+        import os
+
+        from scrupyst_ray.pipelines.ann import _ivf_root, build_ivf_index
+
+        cells_dir, centroids = build_ivf_index(SF, 16)
+        assert os.path.exists(os.path.join(_ivf_root(SF, 16), "_COMPLETE"))
+        assert centroids.shape[1] == 64
+        cells = [d for d in os.listdir(cells_dir) if d.startswith("cell=")]
+        assert 2 <= len(cells) <= 16
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:

@@ -25,10 +25,12 @@ class TestWebopsQueries:
         t = webops.referer_edges(SF).take_all()
         assert len(t) > 0
         r = t[0]
-        # default policy: full parent URL (http→http is not a downgrade);
-        # strict-origin: origin only
-        assert r["referer_default"] == r["src"]
+        # scrapy-default policy: full parent URL (http→http is not a
+        # downgrade); strict-origin: origin only; no-referrer: never
+        assert r["referer_scrapy_default"] == r["src"]
         assert r["referer_strict_origin"].endswith(".test/")
+        assert r["referer_no_referrer"] is None
+        assert r["referer_unsafe_url"] == r["src"]
 
     def test_sitemap_entries(self):
         t = webops.sitemap_entries(SF).take_all()
@@ -59,4 +61,8 @@ class TestWebopsQueries:
         redirects = [r for r in t if r["redirect_times"] > 0]
         assert retries and redirects
         assert all(r["dont_filter"] for r in retries)
-        assert all("/moved?" in r["url"] for r in redirects)
+        # status redirects land on /moved, meta-refresh redirects on /refreshed
+        assert all(
+            "/moved?" in r["url"] or "/refreshed?" in r["url"] for r in redirects
+        )
+        assert any("/refreshed?" in r["url"] for r in redirects)
