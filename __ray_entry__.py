@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": ann.embedding_neardup_pairs,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
+        "request_headers": webops.request_headers,
         "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,

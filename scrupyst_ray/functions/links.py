@@ -12,6 +12,13 @@ per <a>/<area> href, in document order:
 filters (``_link_allowed``):
   scheme ∈ {http, https, file, ftp} · allow/deny regex · allow/deny domains ·
   IGNORED_EXTENSIONS (url_has_any_extension) · restrict_text
+region restriction (``restrict_regions``): the ``restrict_xpaths`` /
+  ``restrict_css`` analog (``lxmlhtml.py:88-101,217-249``) expressible on
+  ``html.parser``: CSS-subset selectors ``tag``, ``#id``, ``.class``,
+  ``tag#id``, ``tag.class`` — an anchor qualifies when it or any open
+  ancestor element matches a selector (document-order stack, void elements
+  skipped).  Covers the reference's own restrict test fixtures
+  (``tests/test_linkextractors.py:226-292``, ported).
 dedup: first occurrence per ``canonicalize_url(url, keep_fragments=True)``
   (``lxmlhtml.py:56-57,154-157``, unique=True default)
 base_url: first ``<base href>`` in the first 4096 characters of the decoded
@@ -79,6 +86,40 @@ def _rel_has_nofollow(rel: str | None) -> bool:
     return rel is not None and "nofollow" in rel.replace(",", " ").split()
 
 
+# elements that never take an end tag (HTML5 void elements) — not pushed on
+# the ancestor stack
+_VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_SELECTOR_RE = re.compile(r"^([a-zA-Z][\w-]*)?(?:#([\w-]+)|\.([\w-]+))?$")
+
+
+def parse_region_selector(sel: str) -> tuple[str | None, str | None, str | None]:
+    """``tag`` / ``#id`` / ``.class`` / ``tag#id`` / ``tag.class`` →
+    (tag, id, class); raises on anything outside the subset."""
+    m = _SELECTOR_RE.match(sel.strip())
+    if m is None or not any(m.groups()):
+        raise ValueError(f"unsupported region selector: {sel!r}")
+    tag, id_, cls = m.groups()
+    return (tag.lower() if tag else None, id_, cls)
+
+
+def _element_matches(
+    sel: tuple[str | None, str | None, str | None],
+    tag: str,
+    attrs: dict[str, str | None],
+) -> bool:
+    stag, sid, scls = sel
+    if stag is not None and tag != stag:
+        return False
+    if sid is not None and attrs.get("id") != sid:
+        return False
+    if scls is not None and scls not in (attrs.get("class") or "").split():
+        return False
+    return True
+
+
 @dataclass
 class Link:
     url: str
@@ -87,37 +128,70 @@ class Link:
 
 
 class _AnchorParser(HTMLParser):
-    """Collect (href, rel, subtree-text) for <a>/<area>, in document order.
+    """Collect (href, rel, subtree-text, in_region) for <a>/<area>, in
+    document order.
 
     *collect_text=False* skips anchor-text accumulation (the crawl hot path
-    never reads it; only the edges query surface and ``restrict_text`` do)."""
+    never reads it; only the edges query surface and ``restrict_text`` do).
+    *regions* (parsed selectors) restrict anchors to matching elements or
+    their descendants; with no regions every anchor is in-region."""
 
-    def __init__(self, collect_text: bool = True) -> None:
+    def __init__(
+        self,
+        collect_text: bool = True,
+        regions: list[tuple[str | None, str | None, str | None]] | None = None,
+    ) -> None:
         super().__init__(convert_charrefs=True)
-        self.anchors: list[list] = []  # [href, rel, [text chunks]] finalized lists
+        self.anchors: list[list] = []  # [href, rel, [text chunks], in_region]
         self._open: list[list] = []  # stack of currently-open anchor entries
         self._collect_text = collect_text
+        self._regions = regions or []
+        self._stack: list[tuple[str, bool]] = []  # (tag, matched_a_region)
+        self._region_depth = 0
+
+    def _in_region(self, tag: str, d: dict[str, str | None]) -> bool:
+        if not self._regions:
+            return True
+        return self._region_depth > 0 or any(
+            _element_matches(s, tag, d) for s in self._regions
+        )
 
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        d = dict(attrs)
         if tag in ("a", "area"):
-            d = dict(attrs)
             href = d.get("href")
             if href is not None:
-                entry = [href, d.get("rel"), []]
+                entry = [href, d.get("rel"), [], self._in_region(tag, d)]
                 self.anchors.append(entry)
                 if tag == "a" and self._collect_text:
                     self._open.append(entry)
+        if self._regions and tag not in _VOID_ELEMENTS:
+            matched = any(_element_matches(s, tag, d) for s in self._regions)
+            self._stack.append((tag, matched))
+            if matched:
+                self._region_depth += 1
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in ("a", "area"):
             d = dict(attrs)
             href = d.get("href")
             if href is not None:
-                self.anchors.append([href, d.get("rel"), []])
+                self.anchors.append(
+                    [href, d.get("rel"), [], self._in_region(tag, d)]
+                )
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a" and self._open:
             self._open.pop()
+        if self._regions and tag not in _VOID_ELEMENTS:
+            # lenient recovery: close up to the nearest matching open tag
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i][0] == tag:
+                    for _, matched in self._stack[i:]:
+                        if matched:
+                            self._region_depth -= 1
+                    del self._stack[i:]
+                    break
 
     def handle_data(self, data: str) -> None:
         for entry in self._open:
@@ -134,12 +208,15 @@ class LinkExtractorConfig:
     deny_domains: list[str] = field(default_factory=list)
     deny_extensions: frozenset[str] = IGNORED_EXTENSIONS
     restrict_text: list[str] = field(default_factory=list)
+    # restrict_xpaths/css analog: CSS-subset selectors (tag/#id/.class)
+    restrict_regions: list[str] = field(default_factory=list)
     unique: bool = True
 
     def __post_init__(self) -> None:
         self._allow_res = [re.compile(r) for r in self.allow]
         self._deny_res = [re.compile(r) for r in self.deny]
         self._restrict_res = [re.compile(r) for r in self.restrict_text]
+        self._region_sels = [parse_region_selector(s) for s in self.restrict_regions]
 
     def link_allowed(self, link: Link) -> bool:
         # mirrors LxmlLinkExtractor._link_allowed (lxmlhtml.py:217-249)
@@ -183,7 +260,7 @@ def extract_links(
     incompatible with a ``restrict_text`` config, which reads the text)."""
     if config._restrict_res:
         collect_text = True
-    parser = _AnchorParser(collect_text=collect_text)
+    parser = _AnchorParser(collect_text=collect_text, regions=config._region_sels)
     try:
         parser.feed(text)
         parser.close()
@@ -194,7 +271,9 @@ def extract_links(
     join_base = make_joiner(base_url)
 
     links: list[Link] = []
-    for href, rel, chunks in parser.anchors:
+    for href, rel, chunks, in_region in parser.anchors:
+        if not in_region:
+            continue
         try:
             attr_val = strip_html5_whitespace(href)
             attr_val = join_base(attr_val)

@@ -6,19 +6,27 @@ Batch rotation (`FEED_EXPORT_BATCH_ITEM_COUNT`) maps to Ray block files via
 ``min_rows_per_file``/``max_rows_per_file``; per-feed item filters are
 ``ds.filter``; ``fields_to_export`` selection/renaming is ``select_columns``
 + rename.  Formats: parquet, jsonl, json-array, csv, xml (small writer for
-parity with the reference's nested XML exporter, ``exporters.py:203-221``).
+parity with the reference's nested XML exporter, ``exporters.py:203-221``),
+pickle / marshal / pprint (stream-of-records single-file exporters,
+``exporters.py:283-375``: one ``pickle.dump``/``marshal.dump``/pformat
+block per item appended to the stream).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import io
 import json
+import marshal
 import os
+import pickle
 from collections.abc import Callable
+from pprint import pformat
 from xml.sax.saxutils import escape
 
 import pyarrow as pa
 
-FORMATS = ("parquet", "jsonl", "csv", "json", "xml")
+FORMATS = ("parquet", "jsonl", "csv", "json", "xml", "pickle", "marshal", "pprint")
 
 
 def export_dataset(
@@ -51,7 +59,7 @@ def export_dataset(
             )
         else:
             ds = ds.select_columns(list(fields))
-    if fmt in ("jsonl", "json", "csv", "xml"):
+    if fmt in ("jsonl", "json", "csv", "xml", "pprint"):
         # text formats can't carry raw bytes: binary columns export as hex
         # (the reference's exporters see str items; our artifact carries
         # binary fingerprints/order keys)
@@ -70,6 +78,12 @@ def export_dataset(
         _write_single(ds, os.path.join(path, "items.json"), _json_array_bytes)
     elif fmt == "xml":
         _write_single(ds, os.path.join(path, "items.xml"), _xml_bytes)
+    elif fmt == "pickle":
+        _write_single(ds, os.path.join(path, "items.pickle"), _pickle_bytes)
+    elif fmt == "marshal":
+        _write_single(ds, os.path.join(path, "items.marshal"), _marshal_bytes)
+    elif fmt == "pprint":
+        _write_single(ds, os.path.join(path, "items.pprint"), _pprint_bytes)
     return path
 
 
@@ -104,6 +118,35 @@ def _write_single(ds, file_path: str, render: Callable[[list[dict]], bytes]) -> 
 
 def _json_array_bytes(rows: list[dict]) -> bytes:
     return json.dumps(rows, default=str).encode()
+
+
+def _pickle_bytes(rows: list[dict]) -> bytes:
+    # reference PickleItemExporter (exporters.py:283-296): one
+    # pickle.dump(dict, file, protocol=2) per item, appended to the stream
+    buf = io.BytesIO()
+    for r in rows:
+        pickle.dump(r, buf, protocol=2)
+    return buf.getvalue()
+
+
+def _marshal_bytes(rows: list[dict]) -> bytes:
+    # reference MarshalItemExporter (exporters.py:299-312); marshal handles
+    # only builtin types, so timestamps export as ISO strings
+    buf = io.BytesIO()
+    for r in rows:
+        marshal.dump(
+            {
+                k: (v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v)
+                for k, v in r.items()
+            },
+            buf,
+        )
+    return buf.getvalue()
+
+
+def _pprint_bytes(rows: list[dict]) -> bytes:
+    # reference PprintItemExporter (exporters.py:275-280): pformat + newline
+    return b"".join(pformat(r).encode() + b"\n" for r in rows)
 
 
 def _xml_field(name: str, value, parts: list[str]) -> None:

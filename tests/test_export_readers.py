@@ -71,9 +71,41 @@ class TestExport:
         # reference exporters.py:203-221: lists → repeated <value> elements
         assert "<tags><value>x</value><value>y</value></tags>" in xml
 
+    def test_pickle_stream(self, tmp_path):
+        # reference PickleItemExporter: concatenated pickle.dump records
+        import pickle
+
+        out = export_dataset(self._ds(), str(tmp_path / "pk"), fmt="pickle")
+        rows = []
+        with open(os.path.join(out, "items.pickle"), "rb") as f:
+            while True:
+                try:
+                    rows.append(pickle.load(f))
+                except EOFError:
+                    break
+        assert sorted(r["a"] for r in rows) == [1, 2, 3, 4]
+
+    def test_marshal_stream(self, tmp_path):
+        import marshal
+
+        out = export_dataset(self._ds(), str(tmp_path / "ms"), fmt="marshal")
+        rows = []
+        with open(os.path.join(out, "items.marshal"), "rb") as f:
+            while True:
+                try:
+                    rows.append(marshal.load(f))
+                except EOFError:
+                    break
+        assert sorted(r["b"] for r in rows) == ["w", "x", "y", "z"]
+
+    def test_pprint_lines(self, tmp_path):
+        out = export_dataset(self._ds(), str(tmp_path / "pp"), fmt="pprint")
+        text = open(os.path.join(out, "items.pprint")).read()
+        assert text.count("'a':") == 4
+
     def test_unknown_format(self, tmp_path):
         with pytest.raises(ValueError):
-            export_dataset(self._ds(), str(tmp_path / "u"), fmt="pickle")
+            export_dataset(self._ds(), str(tmp_path / "u"), fmt="msgpack")
 
 
 @pytest.mark.usefixtures("ray_session")
