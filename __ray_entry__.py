@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
+        "referer_policy_matrix": webops.referer_policy_matrix,
         "sitemap_entries": webops.sitemap_entries,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
@@ -415,12 +416,273 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
     }
+    # the multimodal plumbing gate: the actor pool's deterministic stub
+    # features are dropped, but ids / type assignment / payload sizes must
+    # match the documents table exactly
+    out["media_features"] = """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        FROM documents ORDER BY doc_id
+    """
+    # referer policy conformance over the fixed scenario grid: strip-url /
+    # origin values per parent are hand-derived literals (fragment, creds
+    # and default-port stripping checked against the reference's strip_url
+    # contract); the policy decision logic itself is re-expressed in SQL
+    out["referer_policy_matrix"] = """
+        WITH parents(parent, tls, localp, localps, stripped, origin) AS (VALUES
+          ('https://example.com/page?q=1#frag', TRUE, FALSE, FALSE,
+           'https://example.com/page?q=1', 'https://example.com/'),
+          ('https://user:pw@example.com/sec', TRUE, FALSE, FALSE,
+           'https://example.com/sec', 'https://example.com/'),
+          ('http://example.com/page', FALSE, FALSE, FALSE,
+           'http://example.com/page', 'http://example.com/'),
+          ('https://example.com:8443/alt', TRUE, FALSE, FALSE,
+           'https://example.com:8443/alt', 'https://example.com:8443/'),
+          ('http://example.com:80/defp', FALSE, FALSE, FALSE,
+           'http://example.com/defp', 'http://example.com/'),
+          ('file:///tmp/local.html', FALSE, FALSE, TRUE,
+           'file:///tmp/local.html', 'file:///'),
+          ('s3://bucket/key', FALSE, FALSE, TRUE,
+           's3://bucket/key', 's3://bucket/'),
+          ('data:text/html,hi', FALSE, TRUE, TRUE,
+           'data:text/html,hi', 'data:/')
+        ),
+        children(child, ctls, ctrusty, corigin) AS (VALUES
+          ('https://example.com/other', TRUE, TRUE, 'https://example.com/'),
+          ('http://example.com/other', FALSE, FALSE, 'http://example.com/'),
+          ('https://other.test/x', TRUE, TRUE, 'https://other.test/'),
+          ('http://other.test/x', FALSE, FALSE, 'http://other.test/'),
+          ('data:text/plain,x', FALSE, FALSE, 'data:/')
+        ),
+        g AS (
+          SELECT *, (origin = corigin) AS same,
+                 ((tls AND ctrusty) OR NOT tls) AS sends_origin
+          FROM parents, children
+        )
+        SELECT parent, child,
+          CAST(NULL AS VARCHAR) AS referer_no_referrer,
+          CASE WHEN (NOT tls OR ctls) AND NOT localp THEN stripped END
+              AS referer_no_referrer_when_downgrade,
+          CASE WHEN same AND NOT localp THEN stripped END
+              AS referer_same_origin,
+          CASE WHEN NOT localp THEN origin END AS referer_origin,
+          CASE WHEN sends_origin AND NOT localp THEN origin END
+              AS referer_strict_origin,
+          CASE WHEN localp THEN NULL WHEN same THEN stripped ELSE origin END
+              AS referer_origin_when_cross_origin,
+          CASE WHEN localp THEN NULL WHEN same THEN stripped
+               WHEN sends_origin THEN origin END
+              AS referer_strict_origin_when_cross_origin,
+          CASE WHEN NOT localp THEN stripped END AS referer_unsafe_url,
+          CASE WHEN (NOT tls OR ctls) AND NOT localps THEN stripped END
+              AS referer_scrapy_default
+        FROM g ORDER BY parent, child
+    """
     if corpus_glob is not None:
         # gzip-roundtrip gate: the kernel output must equal the RAW stored
         # bytes (the oracle reads the same corpus parquet directly)
         out["decompress_roundtrip"] = f"""
             SELECT url, TRUE AS roundtrip_ok,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
+            FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+        # byte-identical text invariant: expected encoding is derived from
+        # the page index (the FIXTURES encoding matrix cycles by n % 6,
+        # robots rows by host % 5); text_len comes from the INDEPENDENT
+        # oracle text column the corpus generator pinned by hand
+        out["page_text_extract"] = f"""
+            SELECT url,
+              CASE WHEN url LIKE '%robots.txt' THEN
+                CASE WHEN CAST(regexp_extract(url, 'host(\\d+)\\.test', 1)
+                          AS BIGINT) % 5 = 4
+                     THEN 'utf-8' ELSE 'cp1252' END
+              ELSE
+                CASE CAST(regexp_extract(url, 'n=(\\d+)$', 1) AS BIGINT) % 6
+                  WHEN 2 THEN 'cp1252' WHEN 3 THEN 'gb18030'
+                  WHEN 5 THEN 'cp1252' ELSE 'utf-8' END
+              END AS encoding,
+              CAST(length(text) AS BIGINT) AS text_len,
+              TRUE AS matches_oracle
+            FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+        # response-type sniffing: the synthetic Content-Type header cycles
+        # by n % 5 (html/xml/binary/text/absent); header absent ⇒ URL
+        # extension (.txt for robots) then body sniff (corpus bodies open
+        # with <html>)
+        out["sniff_types"] = f"""
+            WITH p AS (
+              SELECT url,
+                CASE WHEN url LIKE '%robots.txt' THEN NULL
+                     ELSE CAST(regexp_extract(url, 'n=(\\d+)$', 1)
+                               AS BIGINT) % 5 END AS m
+              FROM read_parquet('{corpus_glob}'))
+            SELECT url,
+              CASE m WHEN 0 THEN 'text/html; charset=utf-8'
+                     WHEN 1 THEN 'application/rss+xml'
+                     WHEN 2 THEN 'application/pdf'
+                     WHEN 3 THEN 'text/plain' ELSE NULL END AS content_type,
+              CASE WHEN url LIKE '%robots.txt' THEN 'text'
+                   WHEN m = 0 THEN 'html' WHEN m = 1 THEN 'xml'
+                   WHEN m = 2 THEN 'binary' WHEN m = 3 THEN 'text'
+                   ELSE 'html' END AS kind
+            FROM p ORDER BY url
+        """
+        # redirect / retry / meta-refresh re-emission: statuses key off
+        # n % 10, so the expected follow-up frontier rows (target url,
+        # priority adjust, dont_filter, counters) are pure SQL
+        out["followup_frontier"] = f"""
+            WITH p AS (
+              SELECT url,
+                     regexp_extract(url, '^http://([^/]+)/', 1) AS host,
+                     CAST(regexp_extract(url, 'n=(\\d+)$', 1) AS BIGINT) AS n
+              FROM read_parquet('{corpus_glob}')
+              WHERE url NOT LIKE '%robots.txt')
+            SELECT * FROM (
+              SELECT 'http://' || host || '/moved?k=' || (n % 97) AS url,
+                     host, CAST(0 AS INTEGER) AS depth,
+                     CAST(2 AS BIGINT) AS priority, FALSE AS dont_filter,
+                     CAST(0 AS TINYINT) AS retry_times,
+                     CAST(1 AS TINYINT) AS redirect_times
+              FROM p WHERE n % 10 = 0
+              UNION ALL
+              SELECT url, host, CAST(0 AS INTEGER), CAST(-1 AS BIGINT), TRUE,
+                     CAST(1 AS TINYINT), CAST(0 AS TINYINT)
+              FROM p WHERE n % 10 = 1
+              UNION ALL
+              SELECT 'http://' || host || '/refreshed?k=' || (n % 89), host,
+                     CAST(0 AS INTEGER), CAST(2 AS BIGINT), FALSE,
+                     CAST(0 AS TINYINT), CAST(1 AS TINYINT)
+              FROM p WHERE n % 10 = 2
+            ) ORDER BY url
+        """
+        # link extraction: the corpus link graph is a pure function of the
+        # page index (same-host follows, the xlink formula, nofollow /
+        # fragment / <base>-relative noise), so the full edge table —
+        # including per-page first-wins dedup collisions and document-order
+        # link_idx — is derivable in SQL (H=8, P=50 grid)
+        _edges_cte = f"""
+            WITH pages AS (
+              SELECT url,
+                CAST(regexp_extract(url, 'host(\\d+)\\.test', 1) AS BIGINT) AS h,
+                CAST(regexp_extract(url, 'n=(\\d+)$', 1) AS BIGINT) AS n
+              FROM read_parquet('{corpus_glob}')
+              WHERE url NOT LIKE '%robots.txt'),
+            b AS (
+              SELECT url, h, n,
+                CASE WHEN n % 10 = 0 THEN (h + 1) % 8 ELSE h END AS bh,
+                (h * 31 + n * 7) % 8 AS th,
+                1 + (n * 13) % 50 AS tn,
+                least(3, n - 1) AS c
+              FROM pages),
+            b2 AS (
+              SELECT *,
+                (th = bh AND tn >= greatest(1, n - 3) AND tn <= n - 1) AS coll
+              FROM b),
+            edges AS (
+              SELECT url AS src,
+                     printf('http://host%03d.test/follow?n=%d', bh, n - k) AS dst,
+                     printf('page %d', n - k) AS anchor,
+                     FALSE AS nofollow, CAST(k - 1 AS INTEGER) AS link_idx
+              FROM b2, generate_series(1, 3) t(k) WHERE n - k >= 1
+              UNION ALL
+              SELECT url, printf('http://host%03d.test/follow?n=%d', th, tn),
+                     printf('xlink %d:%d', th, tn), FALSE, CAST(c AS INTEGER)
+              FROM b2 WHERE NOT coll
+              UNION ALL
+              SELECT url, printf('http://host%03d.test/nf%d', bh, n),
+                     'nofollow', TRUE,
+                     CAST(c + CASE WHEN coll THEN 0 ELSE 1 END AS INTEGER)
+              FROM b2
+              UNION ALL
+              SELECT url,
+                     CASE WHEN n % 10 = 0
+                          THEN printf('http://host%03d.test/based/#frag', bh)
+                          ELSE url || '#frag' END,
+                     'fragment', FALSE,
+                     CAST(c + CASE WHEN coll THEN 1 ELSE 2 END AS INTEGER)
+              FROM b2
+              UNION ALL
+              SELECT url, printf('http://host%03d.test/based/rel%d.html', bh, n),
+                     'based-relative', FALSE,
+                     CAST(c + CASE WHEN coll THEN 2 ELSE 3 END AS INTEGER)
+              FROM b2 WHERE n % 10 = 0)
+        """
+        out["link_edges"] = (
+            _edges_cte
+            + "SELECT src, dst, anchor, nofollow, link_idx FROM edges"
+            " ORDER BY src, link_idx"
+        )
+        # referer per extracted edge: all corpus parents are plain http://
+        # (no fragment/creds/port), which collapses the policy matrix to
+        # same-host-vs-cross-host string logic per edge
+        out["referer_edges"] = (
+            _edges_cte
+            + """,
+            sel AS (
+              SELECT src, dst, link_idx,
+                     regexp_extract(src, '^http://([^/]+)', 1) AS sh,
+                     regexp_extract(dst, '^http://([^/]+)', 1) AS dh
+              FROM edges)
+            SELECT src, dst, link_idx,
+              CAST(NULL AS VARCHAR) AS referer_no_referrer,
+              src AS referer_no_referrer_when_downgrade,
+              CASE WHEN sh = dh THEN src END AS referer_same_origin,
+              'http://' || sh || '/' AS referer_origin,
+              'http://' || sh || '/' AS referer_strict_origin,
+              CASE WHEN sh = dh THEN src ELSE 'http://' || sh || '/' END
+                  AS referer_origin_when_cross_origin,
+              CASE WHEN sh = dh THEN src ELSE 'http://' || sh || '/' END
+                  AS referer_strict_origin_when_cross_origin,
+              src AS referer_unsafe_url,
+              src AS referer_scrapy_default
+            FROM sel ORDER BY src, link_idx
+        """
+        )
+        # feed iterators / sitemaps: the synthetic feeds are built from the
+        # same (host, n) grid, so expected records come from generate_series
+        out["sitemap_entries"] = """
+            SELECT printf('http://host%03d.test/sitemap.xml%s', h,
+                          CASE WHEN h % 2 = 1 THEN '.gz' ELSE '' END) AS src,
+                   printf('http://host%03d.test/follow?n=%d', h, n) AS loc,
+                   '' AS lastmod, 'urlset' AS kind
+            FROM generate_series(0, 7) t(h), generate_series(1, 50, 7) s(n)
+            ORDER BY src, loc
+        """
+        out["xmlfeed_nodes"] = """
+            SELECT printf('http://host%03d.test/feed.xml', h) AS src,
+                   CAST((n - 1) // 5 AS INTEGER) AS node_idx,
+                   printf('<item><title>host %d page %d</title>'
+                          '<link>http://host%03d.test/follow?n=%d</link></item>',
+                          h, n, h, n) AS node_xml,
+                   printf('host %d page %dhttp://host%03d.test/follow?n=%d',
+                          h, n, h, n) AS node_text
+            FROM generate_series(0, 7) t(h), generate_series(1, 50, 5) s(n)
+            ORDER BY src, node_idx
+        """
+        out["csvfeed_rows"] = """
+            SELECT printf('http://host%03d.test/feed.csv', h) AS src,
+                   CAST(nn AS VARCHAR) AS n,
+                   printf('http://host%03d.test/follow?n=%d', h, nn) AS url,
+                   printf('host %d, page %d', h, nn) AS title
+            FROM generate_series(0, 7) t(h), generate_series(1, 50, 5) s(nn)
+            ORDER BY src, n
+        """
+        # request-header middlewares: defaults are config constants, auth is
+        # gated to host002.test, the proxy map excludes NO_PROXY host001
+        out["request_headers"] = f"""
+            SELECT url,
+              'scrupyst-ray/0.1 (+local)' AS user_agent,
+              'text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8'
+                  AS accept,
+              'en' AS accept_language,
+              CASE WHEN url LIKE 'http://host002.test/%' THEN
+                  'Basic Y3Jhd2xlcjpzZWNyZXQ=' END AS authorization,
+              CASE WHEN url LIKE 'http://host001.test/%' THEN NULL
+                   ELSE 'http://proxy.test:3128' END AS proxy,
+              CASE WHEN url LIKE 'http://host001.test/%' THEN NULL
+                   ELSE 'Basic dXNlcjpwYXNz' END AS proxy_authorization
             FROM read_parquet('{corpus_glob}') ORDER BY url
         """
     return out

@@ -71,16 +71,32 @@ def sniff_type(body: bytes, url: str = "", content_type: bytes | None = None) ->
 
 
 def sniff_batch(
-    batch: pa.Table, html_col: str = "html", url_col: str = "url"
+    batch: pa.Table,
+    html_col: str = "html",
+    url_col: str = "url",
+    content_type_col: str = "content_type",
 ) -> pa.Table:
-    """Append is_html / is_xml / is_text columns (body+url sniffing)."""
+    """Append ``kind`` plus is_html / is_xml / is_text columns.  When the
+    batch carries a *content_type_col* (string, nullable), non-null values
+    take the reference's header branch (``responsetypes.py:60-94``);
+    null rows fall through to the URL-extension / body sniff."""
     bodies = batch[html_col].to_pylist()
     urls = batch[url_col].to_pylist()
-    kinds = [sniff_type(b or b"", u) for b, u in zip(bodies, urls)]
+    cts = (
+        batch[content_type_col].to_pylist()
+        if content_type_col in batch.column_names
+        else [None] * batch.num_rows
+    )
+    kinds = [
+        sniff_type(b or b"", u, ct.encode() if ct else None)
+        for b, u, ct in zip(bodies, urls, cts)
+    ]
     k = np.array(kinds)
     out = batch
-    for col, val in (("is_html", "html"), ("is_xml", "xml"), ("is_text", "text")):
+    for col in ("kind", "is_html", "is_xml", "is_text"):
         if col in out.column_names:
             out = out.drop_columns([col])
+    out = out.append_column("kind", pa.array(kinds, pa.string()))
+    for col, val in (("is_html", "html"), ("is_xml", "xml"), ("is_text", "text")):
         out = out.append_column(col, pa.array(k == val, pa.bool_()))
     return out

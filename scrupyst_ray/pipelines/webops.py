@@ -33,13 +33,38 @@ def _pages(columns: list[str] | None = None):
 
 
 def sniff_types(sf_dir: str):
-    """M13 response-type sniffing: (url, is_html, is_xml, is_text) per page."""
+    """M13 response-type sniffing: (url, content_type, kind) per page.
+
+    Pages carry a synthetic Content-Type header cycling the reference's
+    header-branch table (``responsetypes.py:60-94``) by page index — html,
+    xml, binary, text, and absent (→ URL-extension / body sniff fallback);
+    robots rows have no header and resolve by the ``.txt`` extension.
+    SQL-oracle-gated: the expected kind is derivable from the url alone."""
+    import re
+
     from scrupyst_ray.functions.sniff import sniff_batch
+
+    _CT = [
+        "text/html; charset=utf-8",
+        "application/rss+xml",
+        "application/pdf",
+        "text/plain",
+        None,
+    ]
+    n_re = re.compile(r"n=(\d+)$")
+
+    def synth_ct(b: pa.Table) -> pa.Table:
+        cts = []
+        for u in b["url"].to_pylist():
+            m = n_re.search(u)
+            cts.append(_CT[int(m.group(1)) % 5] if m else None)
+        return b.append_column("content_type", pa.array(cts, pa.string()))
 
     ds = _pages(["url", "html"])
     return (
-        ds.map_batches(sniff_batch, batch_format="pyarrow")
-        .drop_columns(["html"])
+        ds.map_batches(synth_ct, batch_format="pyarrow")
+        .map_batches(sniff_batch, batch_format="pyarrow")
+        .select_columns(["url", "content_type", "kind"])
         .sort("url")
     )
 
@@ -101,6 +126,51 @@ def referer_edges(sf_dir: str):
         return pa.table(cols)
 
     return ds.map_batches(edges, batch_format="pyarrow").sort(["src", "link_idx"])
+
+
+# fixed (parent × child) scenario grid for the policy matrix — covers
+# fragment/credential/default-port stripping, TLS downgrade, cross-origin,
+# non-default ports, and local/file/s3/data parent schemes
+REFERER_PARENTS = (
+    "https://example.com/page?q=1#frag",
+    "https://user:pw@example.com/sec",
+    "http://example.com/page",
+    "https://example.com:8443/alt",
+    "http://example.com:80/defp",
+    "file:///tmp/local.html",
+    "s3://bucket/key",
+    "data:text/html,hi",
+)
+REFERER_CHILDREN = (
+    "https://example.com/other",
+    "http://example.com/other",
+    "https://other.test/x",
+    "http://other.test/x",
+    "data:text/plain,x",
+)
+
+
+def referer_policy_matrix(sf_dir: str):
+    """M8 policy conformance as a data pipeline: the full reference scenario
+    grid (parent × child) with one Referer column per policy — the
+    distributed analog of the reference's ``test_spidermiddleware_referer``
+    matrix.  SQL-oracle-gated: strip-url / origin values for the fixed
+    parents are hand-derived literals in the oracle, policy logic is SQL."""
+    from scrupyst_ray.functions.referer import POLICIES, referer_for
+
+    parents = [p for p in REFERER_PARENTS for _ in REFERER_CHILDREN]
+    children = list(REFERER_CHILDREN) * len(REFERER_PARENTS)
+    cols: dict[str, pa.Array] = {
+        "parent": pa.array(parents, pa.string()),
+        "child": pa.array(children, pa.string()),
+    }
+    for p in POLICIES:
+        cols[f"referer_{p.replace('-', '_')}"] = pa.array(
+            [referer_for(s, d, policy=p) for s, d in zip(parents, children)],
+            pa.string(),
+        )
+    ds = ray.data.from_arrow(pa.table(cols))
+    return ds.sort(["parent", "child"])
 
 
 def sitemap_entries(sf_dir: str):
@@ -181,20 +251,28 @@ def followup_frontier(sf_dir: str):
     """M9/M10 redirect+retry+meta-refresh re-emission: synthetic per-url
     statuses (3xx with Location, retryable 5xx, 200 with a meta-refresh
     body, plain 200) derived deterministically from the page index,
-    flat-mapped into next-round frontier rows."""
-    from scrupyst_ray.functions.hashing import stable_hash64
+    flat-mapped into next-round frontier rows.  SQL-oracle-gated: statuses
+    key off ``n % 10`` (parsed from the url), so the expected follow-up rows
+    are derivable in SQL; robots rows (no page index) are excluded."""
+    import re
+
     from scrupyst_ray.stages.followup import followups_batch
 
+    n_re = re.compile(r"n=(\d+)$")
     ds = _pages(["url"])
 
     def synth(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.invert(pc.match_substring(b["url"], "robots.txt")))
         urls = b["url"].to_pylist()
         status, redirect, text = [], [], []
         for u in urls:
-            k = stable_hash64(u) % 10
+            n = int(n_re.search(u).group(1))
+            k = n % 10
             if k == 0:
                 status.append(301)
-                redirect.append(f"/moved?k={stable_hash64(u) % 97}")
+                redirect.append(f"/moved?k={n % 97}")
                 text.append(None)
             elif k == 1:
                 status.append(503)
@@ -205,7 +283,7 @@ def followup_frontier(sf_dir: str):
                 redirect.append(None)
                 text.append(
                     '<html><head><meta http-equiv="refresh" '
-                    f'content="0;url=/refreshed?k={stable_hash64(u) % 89}">'
+                    f'content="0;url=/refreshed?k={n % 89}">'
                     "</head></html>"
                 )
             else:

@@ -34,6 +34,22 @@ class TestSniff:
         assert sniff_type(b"", "x", b"text/plain") == "text"
         assert sniff_type(b"", "x", b"application/octet-stream") == "binary"
 
+    def test_batch_content_type_column(self):
+        import pyarrow as pa
+
+        b = pa.table(
+            {
+                "url": ["http://x/a", "http://x/b", "http://x/c"],
+                "html": pa.array([b"<html>", b"<html>", b"<html>"], pa.binary()),
+                "content_type": pa.array(
+                    ["application/pdf", None, "text/xml"], pa.string()
+                ),
+            }
+        )
+        out = sniff_batch(b)
+        assert out["kind"].to_pylist() == ["binary", "html", "xml"]
+        assert out["is_xml"].to_pylist() == [False, False, True]
+
     def test_body_sniff(self):
         assert sniff_type(b"<!DOCTYPE html><html>") == "html"
         assert sniff_type(b"  <html><body>") == "html"

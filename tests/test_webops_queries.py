@@ -10,12 +10,18 @@ class TestWebopsQueries:
     def test_sniff_types(self):
         t = webops.sniff_types(SF).take_all()
         assert len(t) > 0
-        # page bodies are html; robots.txt rows are plain text
+        # robots rows resolve 'text' via the .txt extension; pages resolve
+        # via the synthetic Content-Type header (cycling by n % 5) or fall
+        # through to the body sniff (→ html)
+        import re
+
         for r in t:
             if r["url"].endswith("/robots.txt"):
-                assert r["is_text"] and not r["is_html"]
+                assert r["kind"] == "text" and r["content_type"] is None
             else:
-                assert r["is_html"]
+                n = int(re.search(r"n=(\d+)$", r["url"]).group(1))
+                expect = ["html", "xml", "binary", "text", "html"][n % 5]
+                assert r["kind"] == expect, r
 
     def test_decompress_roundtrip(self):
         t = webops.decompress_roundtrip(SF).take_all()
@@ -31,6 +37,20 @@ class TestWebopsQueries:
         assert r["referer_strict_origin"].endswith(".test/")
         assert r["referer_no_referrer"] is None
         assert r["referer_unsafe_url"] == r["src"]
+
+    def test_referer_policy_matrix(self):
+        t = webops.referer_policy_matrix(SF).take_all()
+        assert len(t) == len(webops.REFERER_PARENTS) * len(webops.REFERER_CHILDREN)
+        by_pair = {(r["parent"], r["child"]): r for r in t}
+        # TLS downgrade: default policy withholds, unsafe-url leaks
+        r = by_pair[("https://example.com/page?q=1#frag", "http://other.test/x")]
+        assert r["referer_scrapy_default"] is None
+        assert r["referer_unsafe_url"] == "https://example.com/page?q=1"
+        assert r["referer_origin"] == "https://example.com/"
+        # local-scheme parents never send under scrapy-default
+        r = by_pair[("file:///tmp/local.html", "http://other.test/x")]
+        assert r["referer_scrapy_default"] is None
+        assert r["referer_no_referrer_when_downgrade"] == "file:///tmp/local.html"
 
     def test_sitemap_entries(self):
         t = webops.sitemap_entries(SF).take_all()
