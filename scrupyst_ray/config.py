@@ -23,6 +23,13 @@ class CrawlConfig:
     # depth (spidermiddlewares/depth.py:30-101; DEPTH_LIMIT=0 means "no limit")
     depth_limit: int = 0
     depth_priority: int = 1  # BFO parity config (FIXTURES.md §7)
+    # within-round tie-break at equal priority (O2): "bfo" = FIFO order_key
+    # (reference FIFO queues + DEPTH_PRIORITY=1, docs/topics/broad-crawls),
+    # "dfo" = LIFO order_key (reference default LifoMemoryQueue pop order,
+    # squeues.py:149-176).  The superstep barrier stays breadth-wise; this
+    # flips every within-round ordering decision (dedup winner, politeness
+    # draw, fetch order, candidate-cap top-k, crawl-order artifact).
+    order_mode: str = "bfo"
     # url length (default_settings.py:528)
     urllength_limit: int = 2083
     # robots (default_settings.py:474-478)

@@ -103,6 +103,7 @@ def _shard_gate_fn(
     deferred_dir: str | None = None,
     deferred_in_dir: str | None = None,
     candidates_in_dir: str | None = None,
+    order_mode: str = "bfo",
 ):
     """Build the per-shard-group gate function: within-round dedup (global
     winner by (priority desc, order_key) — deterministic), lazy fingerprint
@@ -128,10 +129,13 @@ def _shard_gate_fn(
     only pass-1 survivors — once per unique URL instead of once per edge.
     """
 
+    # LIFO tie-break in DFO mode: every within-round ordering flips the
+    # order_key direction (matches the oracle simulator's composed sorts)
+    _OK_DIR = "descending" if order_mode == "dfo" else "ascending"
     SORT_KEYS = [
         ("host", "ascending"),
         ("priority", "descending"),
-        ("order_key", "ascending"),
+        ("order_key", _OK_DIR),
     ]
 
     def gate(group: pa.Table) -> pa.Table:
@@ -188,7 +192,7 @@ def _shard_gate_fn(
             )
             order_rank = pc.sort_indices(
                 group,
-                sort_keys=[("priority", "descending"), ("order_key", "ascending")],
+                sort_keys=[("priority", "descending"), ("order_key", _OK_DIR)],
             ).to_numpy(zero_copy_only=False)
             rank_of_row = np.empty(n, dtype=np.int64)
             rank_of_row[order_rank] = np.arange(n)
@@ -469,6 +473,7 @@ class CrawlResult:
     workdir: str
     rounds: list[RoundStats]
     stopped_reason: str
+    order_mode: str = "bfo"  # artifact tie-break direction (CrawlConfig)
 
     @property
     def total_fetched(self) -> int:
@@ -497,7 +502,7 @@ class CrawlResult:
         on the (small) final result."""
         return self.fetched_dataset().sort(
             ["round", "priority", "order_key"],
-            descending=[False, True, False],
+            descending=[False, True, self.order_mode == "dfo"],
         )
 
     def write_crawl_order(self, out_dir: str | None = None) -> str:
@@ -731,7 +736,7 @@ class CrawlEngine:
             all_stats.append(stats)
             total_fetched += stats.fetched
             n += 1
-        return CrawlResult(self.workdir, all_stats, stopped)
+        return CrawlResult(self.workdir, all_stats, stopped, self.cfg.order_mode)
 
     def _committed_fetch_count(self, upto_round: int) -> int:
         total = 0
@@ -850,6 +855,7 @@ class CrawlEngine:
                     deferred_dir=os.path.join(nf_dir, "deferred"),
                     deferred_in_dir=def_dir if def_rows else None,
                     candidates_in_dir=cand_dir if cand_rows else None,
+                    order_mode=cfg.order_mode,
                 ),
                 batch_format="pyarrow",
             )
@@ -937,7 +943,10 @@ class CrawlEngine:
                 ray.data.from_arrow(pa.table({"path": files}))
                 .repartition(max(1, min(len(files), 64)))
                 .map_batches(_load, batch_format="pyarrow")
-                .sort(["priority", "order_key"], descending=[True, False])
+                .sort(
+                    ["priority", "order_key"],
+                    descending=[True, cfg.order_mode == "dfo"],
+                )
                 .limit(cfg.max_round_candidates)
             )
             tmp_dir = nc_dir + ".capped"

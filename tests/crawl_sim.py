@@ -84,10 +84,21 @@ def simulate_crawl(
     per_round_deferred: list[int] = []
     robots_forbidden = 0
 
+    # LIFO tie-break for DFO mode (reference LifoMemoryQueue pop order,
+    # squeues.py:176): compose stable sorts — order_key pass first
+    # (reversed for dfo), outer keys after — exact per-key direction mix.
+    dfo = cfg.order_mode == "dfo"
+
+    def by_order(rows, *outer):
+        rows = sorted(rows, key=lambda r: r.order_key, reverse=dfo)
+        if outer:
+            rows.sort(key=lambda r: tuple(k(r) for k in outer))
+        return rows
+
     rnd = 0
     while frontier and rnd < max_rounds:
-        # dedup among non-bypass rows: winner = (priority desc, order_key asc)
-        ordered = sorted(frontier, key=lambda r: (-r.priority, r.order_key))
+        # dedup among non-bypass rows: winner = (priority desc, order_key)
+        ordered = by_order(frontier, lambda r: -r.priority)
         winners: dict[bytes, SimRow] = {}
         fps: dict[int, bytes] = {}
         live: list[SimRow] = []
@@ -106,7 +117,7 @@ def simulate_crawl(
         deferred: list[SimRow] = []
         budget_left: dict[str, int] = {}
         # politeness order: host, -priority, order_key (matches shard gate)
-        for row in sorted(live, key=lambda r: (r.host, -r.priority, r.order_key)):
+        for row in by_order(live, lambda r: r.host, lambda r: -r.priority):
             if not (row.dont_filter or row.already_enqueued):
                 fp = fps[id(row)]
                 first = seen.get(fp)
@@ -132,7 +143,7 @@ def simulate_crawl(
         per_round_deferred.append(len(deferred))
 
         # fetch order within the round: (-priority, order_key)
-        admitted.sort(key=lambda r: (-r.priority, r.order_key))
+        admitted = by_order(admitted, lambda r: -r.priority)
         candidates: list[SimRow] = []
         for row in admitted:
             fetch_order.append((rnd, row.url))

@@ -1,0 +1,73 @@
+"""DFO (depth-first order) crawl parity vs the oracle simulator (O2 in
+SURVEY.md §2 — the reference's LIFO queue order, ``scrapy/squeues.py:
+149-176``: with the default LifoMemoryQueue, requests pop newest-first
+within a priority level; BFO is FIFO + DEPTH_PRIORITY=1,
+``docs/topics/broad-crawls.rst``).
+
+In the superstep engine the per-round barrier stays breadth-wise (a round
+IS the clock), but every within-round ordering decision — dedup winner,
+politeness draw, fetch order, candidate-cap top-k — flips its order_key
+tie-break to LIFO (descending), matching the reference's pop order at
+equal priority.  The parity oracle flips the same sorts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from scrupyst_ray.config import CrawlConfig
+from scrupyst_ray.pipelines.crawl import CrawlEngine
+
+from tests.crawl_sim import load_pages_dict, simulate_crawl
+
+
+def _seed_urls(corpus: str) -> list[str]:
+    t = pq.read_table(os.path.join(corpus, "seeds.parquet"))
+    return t.sort_by("seq")["url"].to_pylist()
+
+
+def _engine_order(result) -> list[tuple[int, str]]:
+    t = result.crawl_order_table()
+    return list(zip(t["round"].to_pylist(), t["url"].to_pylist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlDFO:
+    def test_dfo_matches_oracle(self, smoke_corpus, tmp_path):
+        cfg = CrawlConfig(
+            seen_shards=4,
+            fetch_buckets=4,
+            concurrent_requests_per_domain=4,
+            closespider_pagecount=0,
+            order_mode="dfo",
+        )
+        seeds = _seed_urls(smoke_corpus)
+        sim = simulate_crawl(load_pages_dict(smoke_corpus), seeds, cfg, max_rounds=5)
+
+        eng = CrawlEngine.for_corpus(
+            os.path.join(smoke_corpus, "pages"), str(tmp_path / "wd"), cfg
+        )
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res = eng.run(max_rounds=5)
+        eng.shutdown_actors()
+
+        assert res.total_fetched > 0
+        assert _engine_order(res) == sim.fetch_order
+        assert [r.admitted for r in res.rounds] == sim.per_round_admitted
+        assert [r.deferred for r in res.rounds] == sim.per_round_deferred
+
+    def test_dfo_order_differs_from_bfo(self, smoke_corpus):
+        """Sanity: the two modes really produce different orders on the
+        smoke graph (otherwise the parity test proves nothing)."""
+        seeds = _seed_urls(smoke_corpus)
+        pages = load_pages_dict(smoke_corpus)
+        bfo = simulate_crawl(pages, seeds, CrawlConfig(order_mode="bfo"))
+        dfo = simulate_crawl(pages, seeds, CrawlConfig(order_mode="dfo"))
+        assert bfo.fetch_order != dfo.fetch_order
+        # run to exhaustion: same reachable set, different order
+        assert sorted(u for _, u in bfo.fetch_order) == sorted(
+            u for _, u in dfo.fetch_order
+        )
