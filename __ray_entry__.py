@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
         "referer_policy_matrix": webops.referer_policy_matrix,
+        "cookie_session": webops.cookie_session,
         "sitemap_entries": webops.sitemap_entries,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
@@ -425,6 +426,31 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'video' END AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         FROM documents ORDER BY doc_id
+    """
+    # cookie-jar conformance: expected Cookie headers are hand-derived
+    # RFC 6265 literals per scenario step (path scoping with longest-path
+    # ordering, Secure over http, Domain subdomain/apex matching,
+    # overwrite, Max-Age=0 deletion) — independent of the jar under test
+    out["cookie_session"] = """
+        SELECT * FROM (VALUES
+          (0,  0, 'http://shop.test/',                  CAST(NULL AS VARCHAR)),
+          (0,  1, 'http://shop.test/cart',              'sid=abc'),
+          (0,  2, 'http://other.test/',                 NULL),
+          (0,  3, 'http://shop.test/account',           'sid=abc'),
+          (0,  4, 'http://shop.test/account/settings',  'theme=dark; sid=abc'),
+          (0,  5, 'http://shop.test/other',             'sid=abc'),
+          (0,  6, 'https://bank.test/',                 NULL),
+          (0,  7, 'http://bank.test/',                  NULL),
+          (0,  8, 'https://bank.test/login',            'tok=s3c'),
+          (0,  9, 'http://www.site.test/',              NULL),
+          (0, 10, 'http://api.site.test/',              'lang=en'),
+          (0, 11, 'http://site.test/',                  'lang=en'),
+          (1,  0, 'http://a.test/',                     NULL),
+          (1,  1, 'http://a.test/p',                    'x=1'),
+          (1,  2, 'http://a.test/q',                    'x=2'),
+          (1,  3, 'http://a.test/r',                    NULL)
+        ) AS t(jar, seq, url, cookie_header)
+        ORDER BY jar, seq
     """
     # referer policy conformance over the fixed scenario grid: strip-url /
     # origin values per parent are hand-derived literals (fragment, creds

@@ -1,0 +1,124 @@
+"""Cookie jar semantics (M18) — reference
+``scrapy/downloadermiddlewares/cookies.py:40-140`` + ``scrapy/http/cookies.py``.
+
+The reference middleware is a thin adapter over the stdlib
+``http.cookiejar.CookieJar``: responses feed ``extract_cookies`` through a
+WrappedResponse, requests get their ``Cookie`` header from
+``add_cookie_header`` through a WrappedRequest.  This module reproduces that
+adapter for the columnar engine: a :class:`CookieJarState` holds one jar
+(the reference's per-``cookiejar``-meta-key jar) and exposes two pure-ish
+operations:
+
+- ``extract(url, set_cookie_headers)`` — ingest a response's Set-Cookie
+  headers (reference ``process_response``),
+- ``header_for(url)`` — the Cookie header the next request to *url* would
+  carry (reference ``process_request``), None when the jar has nothing to
+  send (domain/path/secure mismatch or empty).
+
+In the superstep crawl this state is per-host-shard (the same actor that
+owns politeness state owns the host's jars); the query surface replays a
+deterministic event log per jar (``pipelines/webops.py::cookie_session``).
+
+Env note: the reference additionally rejects public-suffix ``Domain``
+attributes via tldextract (``cookies.py:35-37,64-72``); tldextract is not in
+this container, so that single guard is omitted — behavior differs only for
+cookies that try to set a Domain equal to a public suffix.
+
+Session-cookie expiry, domain matching, path scoping, the Secure flag and
+Cookie-header ordering (longest path first) all come from the stdlib policy,
+exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import email.message
+from http.cookiejar import CookieJar, DefaultCookiePolicy
+from urllib.parse import urlparse
+
+
+class _WrappedRequest:
+    """The subset of ``urllib.request.Request`` that ``http.cookiejar``
+    touches (reference WrappedRequest, ``http/cookies.py:138-200``)."""
+
+    def __init__(self, url: str):
+        self._url = url
+        self._host = urlparse(url).netloc
+        self.origin_req_host = urlparse(url).hostname or ""
+        self.unverifiable = False
+        self.headers: dict[str, str] = {}
+
+    # http.cookiejar probes both the method and attribute spellings
+    def get_full_url(self) -> str:
+        return self._url
+
+    @property
+    def full_url(self) -> str:
+        return self._url
+
+    @property
+    def host(self) -> str:
+        return self._host
+
+    @property
+    def type(self) -> str:
+        return urlparse(self._url).scheme
+
+    def get_host(self) -> str:
+        return self._host
+
+    def get_type(self) -> str:
+        return urlparse(self._url).scheme
+
+    def is_unverifiable(self) -> bool:
+        return False
+
+    def has_header(self, name: str) -> bool:
+        return name in self.headers
+
+    def get_header(self, name: str, default: str | None = None) -> str | None:
+        return self.headers.get(name, default)
+
+    def header_items(self):
+        return list(self.headers.items())
+
+    def add_unredirected_header(self, name: str, value: str) -> None:
+        self.headers[name] = value
+
+
+class _WrappedResponse:
+    """The subset of ``urllib.response`` the jar reads: ``info()`` returning
+    a Message with the Set-Cookie headers (reference WrappedResponse,
+    ``http/cookies.py:203-221``)."""
+
+    def __init__(self, url: str, set_cookie_headers: list[str]):
+        self._url = url
+        self._msg = email.message.Message()
+        for h in set_cookie_headers:
+            self._msg.add_header("Set-Cookie", h)
+
+    def info(self) -> email.message.Message:
+        return self._msg
+
+    @property
+    def url(self) -> str:
+        return self._url
+
+
+class CookieJarState:
+    """One cookie jar (reference per-``cookiejar``-key jar)."""
+
+    def __init__(self) -> None:
+        self.jar = CookieJar(policy=DefaultCookiePolicy())
+
+    def extract(self, url: str, set_cookie_headers: list[str]) -> None:
+        """Ingest a response's Set-Cookie headers into the jar."""
+        if not set_cookie_headers:
+            return
+        req = _WrappedRequest(url)
+        self.jar.extract_cookies(_WrappedResponse(url, set_cookie_headers), req)  # type: ignore[arg-type]
+
+    def header_for(self, url: str) -> str | None:
+        """The Cookie header a request to *url* would carry, else None."""
+        req = _WrappedRequest(url)
+        self.jar.add_cookie_header(req)  # type: ignore[arg-type]
+        return req.headers.get("Cookie")

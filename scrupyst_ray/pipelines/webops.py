@@ -128,6 +128,71 @@ def referer_edges(sf_dir: str):
     return ds.map_batches(edges, batch_format="pyarrow").sort(["src", "link_idx"])
 
 
+# deterministic cookie-session event logs, one per jar (M18 conformance
+# scenarios: path scoping + header ordering, Secure gating, Domain
+# subdomain/apex matching, overwrite, Max-Age=0 deletion)
+COOKIE_EVENTS: tuple[tuple[int, int, str, str | None], ...] = (
+    # (jar, seq, url, set_cookie or None)
+    (0, 0, "http://shop.test/", "sid=abc; Path=/"),
+    (0, 1, "http://shop.test/cart", None),
+    (0, 2, "http://other.test/", None),
+    (0, 3, "http://shop.test/account", "theme=dark; Path=/account"),
+    (0, 4, "http://shop.test/account/settings", None),
+    (0, 5, "http://shop.test/other", None),
+    (0, 6, "https://bank.test/", "tok=s3c; Path=/; Secure"),
+    (0, 7, "http://bank.test/", None),
+    (0, 8, "https://bank.test/login", None),
+    (0, 9, "http://www.site.test/", "lang=en; Domain=.site.test; Path=/"),
+    (0, 10, "http://api.site.test/", None),
+    (0, 11, "http://site.test/", None),
+    (1, 0, "http://a.test/", "x=1; Path=/"),
+    (1, 1, "http://a.test/p", "x=2; Path=/"),
+    (1, 2, "http://a.test/q", "x=gone; Max-Age=0; Path=/"),
+    (1, 3, "http://a.test/r", None),
+)
+
+
+def cookie_session(sf_dir: str):
+    """M18 cookies: replay per-jar event logs through the stdlib-backed jar
+    adapter (the reference middleware's exact backend), emitting the Cookie
+    header each request carries BEFORE its response's Set-Cookie is
+    ingested.  Runs as a ``groupby(jar).map_groups`` — the jar is
+    order-dependent state, the engine pattern is one jar per state shard.
+    SQL-oracle-gated: expected headers are hand-derived RFC 6265 literals."""
+    from scrupyst_ray.functions.cookies import CookieJarState
+
+    t = pa.table(
+        {
+            "jar": pa.array([e[0] for e in COOKIE_EVENTS], pa.int64()),
+            "seq": pa.array([e[1] for e in COOKIE_EVENTS], pa.int64()),
+            "url": pa.array([e[2] for e in COOKIE_EVENTS], pa.string()),
+            "set_cookie": pa.array([e[3] for e in COOKIE_EVENTS], pa.string()),
+        }
+    )
+
+    def replay(g: pa.Table) -> pa.Table:
+        g = g.sort_by("seq")
+        jar = CookieJarState()
+        headers: list[str | None] = []
+        for url, sc in zip(g["url"].to_pylist(), g["set_cookie"].to_pylist()):
+            headers.append(jar.header_for(url))
+            if sc:
+                jar.extract(url, [sc])
+        return pa.table(
+            {
+                "jar": g["jar"],
+                "seq": g["seq"],
+                "url": g["url"],
+                "cookie_header": pa.array(headers, pa.string()),
+            }
+        )
+
+    ds = ray.data.from_arrow(t)
+    return ds.groupby("jar").map_groups(replay, batch_format="pyarrow").sort(
+        ["jar", "seq"]
+    )
+
+
 # fixed (parent × child) scenario grid for the policy matrix — covers
 # fragment/credential/default-port stripping, TLS downgrade, cross-origin,
 # non-default ports, and local/file/s3/data parent schemes

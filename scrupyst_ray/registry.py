@@ -100,6 +100,29 @@ def components_from_settings(
     return out
 
 
+class NotConfigured(Exception):
+    """An addon/component opts out of being enabled (reference
+    ``scrapy/exceptions.py`` NotConfigured semantics)."""
+
+
+def apply_addons(settings: dict[str, Any]) -> list[Any]:
+    """Load the ``ADDONS`` setting (``{path_or_class: priority}``) and run
+    each addon's ``update_settings(settings)`` in ascending-priority order
+    (reference ``AddonManager.load_settings``, ``scrapy/addons.py:25-47``).
+    An addon raising :class:`NotConfigured` is skipped.  Returns the enabled
+    addon instances."""
+    enabled: list[Any] = []
+    for cls in build_component_list(dict(settings.get("ADDONS") or {})):
+        try:
+            addon = instantiate(cls)
+            if hasattr(addon, "update_settings"):
+                addon.update_settings(settings)
+            enabled.append(addon)
+        except NotConfigured:
+            continue
+    return enabled
+
+
 def class_from_settings(
     settings: dict[str, Any], key: str, default: Any = None
 ) -> Any:

@@ -1,0 +1,68 @@
+"""Cookie jar adapter conformance (M18) — scenarios mirrored from the
+reference's ``tests/test_downloadermiddleware_cookies.py`` (basic merge,
+path scoping, Secure, Domain matching, overwrite/delete), backed by the
+same stdlib ``http.cookiejar`` the reference middleware wraps."""
+
+from scrupyst_ray.functions.cookies import CookieJarState
+
+
+class TestCookieJarState:
+    def test_roundtrip_same_host(self):
+        j = CookieJarState()
+        assert j.header_for("http://example.test/") is None
+        j.extract("http://example.test/", ["C1=value1; Path=/"])
+        assert j.header_for("http://example.test/page") == "C1=value1"
+
+    def test_host_isolation(self):
+        j = CookieJarState()
+        j.extract("http://a.test/", ["k=v; Path=/"])
+        assert j.header_for("http://b.test/") is None
+
+    def test_path_scoping_and_order(self):
+        j = CookieJarState()
+        j.extract("http://s.test/", ["root=1; Path=/"])
+        j.extract("http://s.test/sub", ["deep=2; Path=/sub"])
+        # longest path first (stdlib add_cookie_header ordering)
+        assert j.header_for("http://s.test/sub/x") == "deep=2; root=1"
+        assert j.header_for("http://s.test/") == "root=1"
+
+    def test_secure_not_sent_over_http(self):
+        j = CookieJarState()
+        j.extract("https://bank.test/", ["tok=s; Path=/; Secure"])
+        assert j.header_for("http://bank.test/") is None
+        assert j.header_for("https://bank.test/") == "tok=s"
+
+    def test_domain_cookie_matches_subdomains_and_apex(self):
+        j = CookieJarState()
+        j.extract("http://www.site.test/", ["lang=en; Domain=.site.test; Path=/"])
+        assert j.header_for("http://api.site.test/") == "lang=en"
+        assert j.header_for("http://site.test/") == "lang=en"
+        assert j.header_for("http://othersite.test/") is None
+
+    def test_overwrite_and_maxage_zero_deletes(self):
+        j = CookieJarState()
+        j.extract("http://a.test/", ["x=1; Path=/"])
+        j.extract("http://a.test/", ["x=2; Path=/"])
+        assert j.header_for("http://a.test/") == "x=2"
+        j.extract("http://a.test/", ["x=gone; Max-Age=0; Path=/"])
+        assert j.header_for("http://a.test/") is None
+
+    def test_multiple_set_cookie_headers_one_response(self):
+        j = CookieJarState()
+        j.extract("http://m.test/", ["a=1; Path=/", "b=2; Path=/"])
+        hdr = j.header_for("http://m.test/")
+        assert hdr is not None and set(hdr.split("; ")) == {"a=1", "b=2"}
+
+
+class TestCookieSessionQuery:
+    def test_matches_scenario_literals(self, ray_session):
+        from scrupyst_ray.pipelines import webops
+
+        rows = webops.cookie_session("ignored").take_all()
+        by_key = {(r["jar"], r["seq"]): r["cookie_header"] for r in rows}
+        assert by_key[(0, 1)] == "sid=abc"
+        assert by_key[(0, 4)] == "theme=dark; sid=abc"
+        assert by_key[(0, 7)] is None  # Secure cookie not sent over http
+        assert by_key[(0, 10)] == "lang=en"  # Domain matches subdomain
+        assert by_key[(1, 3)] is None  # Max-Age=0 deleted
+        assert len(rows) == len(webops.COOKIE_EVENTS)

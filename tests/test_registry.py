@@ -141,6 +141,41 @@ class TestSettingsWiring:
         assert out["n"].to_pylist() == [6, 5]
 
 
+class TestAddons:
+    def test_addons_update_settings_in_priority_order(self):
+        from scrupyst_ray.registry import apply_addons
+
+        settings = {
+            "ADDONS": {
+                "tests.test_registry.AddonB": 200,
+                "tests.test_registry.AddonA": 100,
+                "tests.test_registry.AddonOff": 150,
+            },
+            "trace": [],
+        }
+        enabled = apply_addons(settings)
+        # ascending priority; NotConfigured addon skipped
+        assert settings["trace"] == ["A", "B"]
+        assert len(enabled) == 2
+
+
+class AddonA:
+    def update_settings(self, settings):
+        settings["trace"].append("A")
+
+
+class AddonB:
+    def update_settings(self, settings):
+        settings["trace"].append("B")
+
+
+class AddonOff:
+    def update_settings(self, settings):
+        from scrupyst_ray.registry import NotConfigured
+
+        raise NotConfigured("disabled in this environment")
+
+
 class DropShort:
     def process_items(self, table, ctx):
         import pyarrow.compute as pc
