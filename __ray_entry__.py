@@ -155,7 +155,14 @@ def _q_media(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from scrupyst_ray.pipelines import ann, dedup, relational, textstats, webops
+    from scrupyst_ray.pipelines import (
+        ann,
+        dedup,
+        relational,
+        textprep,
+        textstats,
+        webops,
+    )
 
     return {
         # -- crawl engine operators (synthetic page corpus; rows-only) --
@@ -180,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_by_source": textstats.quality_filter_by_source,
         "doc_analysis": textstats.doc_analysis,
         "doc_quality_metrics": textstats.doc_quality_metrics,
+        "text_normalize": textprep.text_normalize,
+        "pii_scrub": textprep.pii_scrub,
+        "stratified_sample": textprep.stratified_sample,
         # -- deduplication --
         "dedup_exact": dedup.exact_dedup_keep,
         "minhash_pairs": dedup.minhash_pairs,
@@ -426,6 +436,32 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'video' END AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         FROM documents ORDER BY doc_id
+    """
+    # text-prep operators: RE2 regexes and Knuth-hash arithmetic are
+    # engine-identical on both sides (pyarrow and DuckDB both bundle RE2)
+    _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _URL = r"https?://[^\s]+"
+    _NORM = r"trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))"
+    out["text_normalize"] = (
+        "SELECT doc_id, CAST(length(" + _NORM + ") AS BIGINT) AS norm_chars, "
+        "md5(" + _NORM + ") AS norm_digest FROM documents ORDER BY doc_id"
+    )
+    out["pii_scrub"] = (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(regexp_replace(text, '{_EMAIL}', "
+        f"'<EMAIL>', 'g'), '{_URL}')) AS BIGINT) AS n_urls, "
+        f"md5(regexp_replace(regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_URL}', '<URL>', 'g')) AS scrub_digest "
+        "FROM documents ORDER BY doc_id"
+    )
+    # thresholds are int(rate * 2^32) literals: en 0.5 → 2147483648,
+    # default 0.2 → 858993459 (truncated like the Python side)
+    out["stratified_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+              CASE WHEN lang = 'en' THEN 2147483648 ELSE 858993459 END
+        ORDER BY doc_id
     """
     # cookie-jar conformance: expected Cookie headers are hand-derived
     # RFC 6265 literals per scenario step (path scoping with longest-path
