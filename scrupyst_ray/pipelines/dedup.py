@@ -48,8 +48,9 @@ def _docs(sf_dir: str, columns: list[str] | None = None):
 # both join sides hash-partition on the key, so no task ever sees more than
 # 1/N of the side table.
 from scrupyst_ray.pipelines.joins import (  # noqa: E402
+    anti_join_by_key as _anti_join,
     attach_by_key as _attach_by_key,
-    dist_join as _join,
+    join_partitions as _parts,
     rename as _rename,
 )
 
@@ -71,7 +72,7 @@ def exact_dedup_keep(sf_dir: str):
 
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
+        .groupby("h", num_partitions=_parts())
         .aggregate(Min("doc_id"))
     )
     return (
@@ -146,9 +147,9 @@ def minhash_pairs(
 
     cand = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("band", num_partitions=_parts())
         .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(["a", "b"], num_partitions=_parts())
         .count()  # dedup pairs found in multiple bands
         .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
     )
@@ -199,10 +200,8 @@ def minhash_dedup_keep(sf_dir: str, **kw):
     drop = _rename(
         pairs.map_batches(lambda t: t.select(["b"]), batch_format="pyarrow"),
         ["doc_id"],
-    )
-    return _join(_docs(sf_dir, ["doc_id"]), drop, "left_anti", ("doc_id",)).sort(
-        "doc_id"
-    )
+    ).materialize()
+    return _anti_join(_docs(sf_dir, ["doc_id"]), drop, "doc_id").sort("doc_id")
 
 
 # -- SimHash ---------------------------------------------------------------------
@@ -265,9 +264,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
 
     return (
         ds.map_batches(sign, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("band", num_partitions=_parts())
         .map_groups(pairs_of_group, batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .groupby(["a", "b"], num_partitions=_parts())
         .aggregate(Min("hamming"))
         .map_batches(
             lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
@@ -322,7 +321,7 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.5):
 
     return (
         _docs(sf_dir, ["doc_id", "text", "source"])
-        .groupby("source")
+        .groupby("source", num_partitions=_parts())
         .map_groups(pairs_of_source, batch_format="pyarrow")
         .sort(["a", "b"])
     )

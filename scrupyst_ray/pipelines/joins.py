@@ -43,9 +43,48 @@ def rename(ds, names: list[str]):
     return ds.map_batches(lambda t: t.rename_columns(names), batch_format="pyarrow")
 
 
-def attach_by_key(pairs, side, key_col: str, payload_as: str):
-    """Hash-join ``side``'s second column onto rows of ``pairs`` matching on
-    *key_col* (side must have exactly (key, payload) columns)."""
+# Broadcast-vs-shuffle selection threshold: a side at or below this many
+# rows ships once via ray.put and is read zero-copy in every task (the
+# brief's "broadcast small sides" pattern); above it, both sides shuffle
+# (bounded per-task state).  200k rows of 128-perm signatures ≈ 210 MB —
+# comfortably inside one executor's heap; a 100 TB corpus's 10^9-row side
+# takes the join path.
+BROADCAST_MAX_ROWS = 200_000
+BROADCAST_MAX_BYTES = 256 << 20  # the ray.put'd table must fit one executor
+
+
+def _small_enough(ds, rows) -> bool:
+    if rows is None or rows > BROADCAST_MAX_ROWS:
+        return False
+    try:
+        size = ds.size_bytes()  # parquet/materialized metadata — no execution
+    except Exception:
+        size = None
+    return size is None or size <= BROADCAST_MAX_BYTES
+
+
+def attach_by_key(pairs, side, key_col: str, payload_as: str, side_rows=None):
+    """Attach ``side``'s second column onto rows of ``pairs`` matching on
+    *key_col* (side must have exactly (key, payload) columns).
+
+    Strategy is size-selected like a SQL engine's broadcast join: a small
+    side avoids the hash-join's shuffle + aggregator-actor startup (which
+    dominates wall time on small inputs); a large side takes the
+    distributed hash join so nothing driver-side ever holds it.
+    ``side_rows`` lets callers pass an already-known count; otherwise it is
+    read from the side's metadata (cheap on materialized datasets)."""
+    if side_rows is None:
+        side_rows = side.count()
+    if _small_enough(side, side_rows):
+        key_name, payload_name = side.columns()[:2]
+        ref = broadcast_lookup(side, key_name, payload_name)
+
+        def attach_inner(b: pa.Table) -> pa.Table:
+            out = attach_from_lookup(b, key_col, payload_as, ref)
+            # inner-join semantics: unmatched rows drop (same as the join path)
+            return out.filter(pc.is_valid(out[payload_as]))
+
+        return pairs.map_batches(attach_inner, batch_format="pyarrow")
     side2 = rename(side, [f"__k_{key_col}", payload_as])
     out = dist_join(pairs, side2, "inner", (key_col,), (f"__k_{key_col}",))
     k = f"__k_{key_col}"
@@ -53,6 +92,27 @@ def attach_by_key(pairs, side, key_col: str, payload_as: str):
         lambda t: t.drop_columns([k]) if k in t.column_names else t,
         batch_format="pyarrow",
     )
+
+
+def anti_join_by_key(left, drop, key_col: str, drop_rows=None):
+    """``left`` minus rows whose *key_col* appears in ``drop`` (a one-column
+    dataset).  Same size-selected strategy as :func:`attach_by_key`: a small
+    drop-set broadcasts as a value set checked with ``pc.is_in`` per batch;
+    a large one takes the distributed LEFT ANTI hash join."""
+    if drop_rows is None:
+        drop_rows = drop.count()
+    if _small_enough(drop, drop_rows):
+        keys = pa.concat_tables(ray.get(drop.to_arrow_refs()))
+        ref = ray.put(keys[keys.column_names[0]].combine_chunks())
+
+        def minus(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.invert(pc.is_in(b[key_col], value_set=ray.get(ref)))
+            )
+
+        return left.map_batches(minus, batch_format="pyarrow")
+    drop2 = rename(drop, [key_col])
+    return dist_join(left, drop2, "left_anti", (key_col,))
 
 
 def broadcast_lookup(ds_small, key_col: str, val_col: str):
