@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": relational.supplier_part_join,
         "events_by_type": relational.events_by_type,
         "events_minutely": relational.events_minutely,
+        "events_sliding_window": relational.events_sliding_window,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "revenue_by_nation": relational.revenue_by_nation,
         "user_event_sessions": relational.user_event_sessions,
@@ -290,6 +291,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    printf('%.4f', SUM(value)) AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_sliding_window": """
+            SELECT date_trunc('minute', ts) - to_minutes(j) AS window_start,
+                   COUNT(*) AS n_events,
+                   printf('%.4f', SUM(value)) AS sum_value
+            FROM events, generate_series(0, 4) t(j)
+            GROUP BY 1 ORDER BY 1
         """,
         "token_counts": """
             SELECT doc_id,

@@ -537,6 +537,11 @@ class CrawlEngine:
         self.seen_dir = os.path.join(workdir, "seen")
         self.robots_dir = os.path.join(workdir, "robots")
         os.makedirs(self.rounds_dir, exist_ok=True)
+        # ST7: user kv state persisted across run/resume (reference
+        # extensions/spiderstate.py) — loaded here, saved after each run()
+        from scrupyst_ray.state.spiderstate import SpiderState
+
+        self.spider_state = SpiderState(workdir)
         self._actors: list | None = None
         # (cand_rows, def_rows) per round, carried forward from each round's
         # sidecar sums — the fallback footer walk over the many small
@@ -736,6 +741,7 @@ class CrawlEngine:
             all_stats.append(stats)
             total_fetched += stats.fetched
             n += 1
+        self.spider_state.save()
         return CrawlResult(self.workdir, all_stats, stopped, self.cfg.order_mode)
 
     def _committed_fetch_count(self, upto_round: int) -> int:

@@ -179,6 +179,44 @@ def events_minutely(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow").sort("minute")
 
 
+def events_sliding_window(sf_dir: str, window_min: int = 5, slide_min: int = 1):
+    """Sliding-window aggregate (window 5 min, slide 1 min): each event is
+    flat-mapped into the ``window/slide`` windows containing it (a
+    vectorized ×5 expansion — concat of shifted copies, no row loop), then
+    a partial-agg groupby on window_start.  This is the batch form of the
+    streaming sliding window (SURVEY.md §2.9); the expansion factor is
+    window/slide, constant per event, so the shuffle stays proportional to
+    the input at any scale."""
+    import datetime as dt
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    k = window_min // slide_min
+
+    def expand(b: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(b["ts"], unit="minute")
+        parts = []
+        for j in range(k):
+            start = pc.subtract(
+                minute, pa.scalar(dt.timedelta(minutes=j * slide_min))
+            )
+            parts.append(
+                pa.table({"window_start": start, "value": b["value"]})
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(), Sum("value"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["window_start", "n_events", "sum_value"])
+        return _round_cols(b, {"sum_value": 4})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("window_start")
+
+
 def supplier_part_join(sf_dir: str):
     """part ⨝ lineitem broadcast join → revenue per part brand."""
     part = _read(sf_dir, "part", None)
