@@ -72,3 +72,46 @@ class CrawlConfig:
     fetch_buckets: int = 16  # hash(url) buckets for the fetch join
     parse_batch_size: int = 256  # html-heavy stage batch size
     parse_concurrency: int | None = None  # None = let Ray size the task pool
+
+    @classmethod
+    def from_settings(cls, settings: dict) -> "CrawlConfig":
+        """Build a config from a reference-style settings dict (the names a
+        reference user already has: ``default_settings.py`` keys).  ADDONS
+        run first and may mutate the dict (``registry.apply_addons``);
+        middleware/pipeline priority dicts are dotted paths resolved and
+        instantiated through the registry, so the whole configuration ships
+        as ONE serializable dict.  Unknown keys are ignored (the reference
+        tolerates unused settings the same way)."""
+        from scrupyst_ray.registry import apply_addons, components_from_settings
+
+        settings = dict(settings)
+        apply_addons(settings)
+        field_map = {
+            "CONCURRENT_REQUESTS_PER_DOMAIN": "concurrent_requests_per_domain",
+            "DOWNLOAD_DELAY": "download_delay",
+            "DEPTH_LIMIT": "depth_limit",
+            "DEPTH_PRIORITY": "depth_priority",
+            "URLLENGTH_LIMIT": "urllength_limit",
+            "ROBOTSTXT_OBEY": "robotstxt_obey",
+            "USER_AGENT": "user_agent",
+            "DOWNLOAD_SLOTS": "download_slots",
+            "AUTOTHROTTLE_ENABLED": "autothrottle_enabled",
+            "AUTOTHROTTLE_START_DELAY": "autothrottle_start_delay",
+            "AUTOTHROTTLE_MAX_DELAY": "autothrottle_max_delay",
+            "AUTOTHROTTLE_TARGET_CONCURRENCY": "autothrottle_target_concurrency",
+            "CLOSESPIDER_PAGECOUNT": "closespider_pagecount",
+            "ORDER_MODE": "order_mode",
+        }
+        kwargs = {
+            attr: settings[key]
+            for key, attr in field_map.items()
+            if key in settings
+        }
+        if "ALLOWED_DOMAINS" in settings:
+            kwargs["allowed_domains"] = list(settings["ALLOWED_DOMAINS"])
+        mw: dict = {}
+        for key in ("DOWNLOADER_MIDDLEWARES", "SPIDER_MIDDLEWARES", "ITEM_PIPELINES"):
+            mw.update(components_from_settings(settings, key))
+        if mw:
+            kwargs["middlewares"] = mw
+        return cls(**kwargs)

@@ -354,9 +354,12 @@ def url_is_from_any_domain(url: str, domains: list[str]) -> bool:
 
 # -- cached-base urljoin ------------------------------------------------------
 
-# base eligible for fast joins: clean absolute http(s) URL, no query/fragment,
-# no dot segments in the path
-_JOIN_BASE_RE = re.compile(r"^(https?://[^/?#]+)((?:/[^?#]*)?)$")
+# base eligible for fast joins: clean absolute http(s) URL; a query or
+# fragment on the BASE is fine (RFC 3986 join uses only the base path for
+# relative references — the empty-href case is precomputed via urljoin)
+_JOIN_BASE_RE = re.compile(
+    r"^(https?://[^/?#]+)((?:/[^?#]*)?)(?:\?[^#]*)?(?:#.*)?$"
+)
 # relative reference eligible for the prefix fast path: path segments without
 # ':' (a colon in the first segment would parse as a scheme), '?' query and
 # '#' fragment allowed
@@ -387,15 +390,18 @@ def make_joiner(base_url: str):
     other schemes, query/fragment-only refs) falls back to ``urljoin``
     itself, so the result is always identical (property-tested)."""
     m = _JOIN_BASE_RE.match(base_url)
-    if m is None or "/." in base_url:
+    if m is None or "/." in m.group(2):
         return lambda href: urljoin(base_url, href)
     root = m.group(1)
     path = m.group(2)
     base_dir = root + path[: path.rfind("/") + 1] if path else root + "/"
+    # urljoin(base, "") keeps the base query but drops its fragment —
+    # precompute rather than special-case
+    empty_result = urljoin(base_url, "")
 
     def join(href: str) -> str:
         if not href:
-            return base_url
+            return empty_result
         if "\t" in href or "\n" in href or "\r" in href:
             # urlsplit strips ASCII tab/newline anywhere in the URL (WHATWG
             # rule) — the fast-path regexes would keep them, diverging from

@@ -160,6 +160,14 @@ class TestMakeJoiner:
         "http://h.test/a%20b/c.html?q=1",
         "ftp://h/x/y",
         "http://h.test/./d/e.html",
+        # bases WITH query/fragment take the fast path too (the crawl's own
+        # page urls are /follow?n=K — the hot case)
+        "http://h.test/follow?n=5",
+        "http://h.test/a/b?q=1#f",
+        "https://h.test/?x",
+        "http://h.test/p#frag",
+        "http://h.test/a/./b?n=1",
+        "http://h.test/p?q=/./x",
     ]
     ATOMS = [
         "page7.html", "a", "a/b", "a/b/", "", ".", "..", "../x", "./x",

@@ -141,6 +141,32 @@ class TestSettingsWiring:
         assert out["n"].to_pylist() == [6, 5]
 
 
+class TestFromSettings:
+    def test_reference_setting_names_and_addons_compose(self):
+        from scrupyst_ray.config import CrawlConfig
+
+        settings = {
+            "DOWNLOAD_DELAY": 2.0,
+            "DEPTH_LIMIT": 3,
+            "ROBOTSTXT_OBEY": False,
+            "ALLOWED_DOMAINS": ["example.test"],
+            "ITEM_PIPELINES": {"tests.test_registry.AddLen": 100},
+            "ADDONS": {"tests.test_registry.DelayBump": 100},
+            "UNKNOWN_SETTING": "ignored",
+        }
+        cfg = CrawlConfig.from_settings(settings)
+        # the addon ran first and bumped the delay
+        assert cfg.download_delay == 3.5
+        assert cfg.depth_limit == 3 and cfg.robotstxt_obey is False
+        assert cfg.allowed_domains == ["example.test"]
+        assert len(cfg.middlewares) == 1
+
+
+class DelayBump:
+    def update_settings(self, settings):
+        settings["DOWNLOAD_DELAY"] = settings.get("DOWNLOAD_DELAY", 0) + 1.5
+
+
 class TestAddons:
     def test_addons_update_settings_in_priority_order(self):
         from scrupyst_ray.registry import apply_addons
