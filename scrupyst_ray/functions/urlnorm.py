@@ -322,11 +322,24 @@ def _url_path(url: str) -> str:
     return path
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _norm_extensions(extensions: frozenset[str]) -> frozenset[str]:
+    return frozenset(e.lstrip(".").lower() for e in extensions)
+
+
 def url_has_any_extension(url: str, extensions: frozenset[str] | set[str]) -> bool:
     """True if the URL path ends in one of *extensions* (reference
-    ``scrapy/utils/url.py:50-55``; used for IGNORED_EXTENSIONS).
-    Equivalent to checking every dot-suffix of the path against the set
-    (extensions may contain one internal dot, e.g. ``tar.gz``)."""
+    ``scrapy/utils/url.py:60-63`` — there the entries carry a leading dot
+    and match by ``endswith``; dotted and dot-less entries are accepted here
+    and normalized once per distinct set).  Equivalent to checking every
+    dot-suffix of the path against the set (extensions may contain one
+    internal dot, e.g. ``tar.gz``)."""
+    if not isinstance(extensions, frozenset):
+        extensions = frozenset(extensions)
+    extensions = _norm_extensions(extensions)
     try:
         path = _url_path(url).lower()
     except ValueError:
@@ -342,9 +355,24 @@ def url_has_any_extension(url: str, extensions: frozenset[str] | set[str]) -> bo
 
 
 def url_is_from_any_domain(url: str, domains: list[str]) -> bool:
-    """True if the URL host equals one of *domains* or is a subdomain of it
-    (reference ``scrapy/utils/url.py:43-48`` / offsite middleware regex
-    ``downloadermiddlewares/offsite.py:67-99``: ``^(.*\\.)?(d1|d2...)$``)."""
+    """True if the URL's NETLOC equals one of *domains* or is a subdomain of
+    it — reference ``scrapy/utils/url.py:43-48`` matches the lowered netloc,
+    so a port (or userinfo) in the URL must also appear in the domain entry
+    to match (``192.169.0.15:8080`` ≠ ``192.169.0.15`` — reference
+    ``tests/test_utils_url.py::test_url_is_from_any_domain``).  The OFFSITE
+    filter is different (hostname-only, port-insensitive) and uses
+    :func:`host_is_from_any_domain`."""
+    netloc = urlsplit(url).netloc.lower()
+    if not netloc:
+        return False
+    domains = [d.lower() for d in domains]
+    return any(netloc == d or netloc.endswith(f".{d}") for d in domains)
+
+
+def host_is_from_any_domain(url: str, domains: list[str]) -> bool:
+    """Hostname-only domain match (port/userinfo-insensitive) — the OFFSITE
+    middleware semantics (reference ``downloadermiddlewares/offsite.py:67-99``
+    regex ``^(.*\\.)?(d1|d2...)$`` against ``urlparse(url).hostname``)."""
     host = parse_host(url)
     if not host:
         return False

@@ -36,7 +36,7 @@ from scrupyst_ray.functions.hashing import hash_mod_batch, stable_hash64
 from scrupyst_ray.functions.urlnorm import (
     parse_host,
     safe_url_string,
-    url_is_from_any_domain,
+    host_is_from_any_domain,
 )
 
 FRONTIER_SCHEMA = pa.schema(
@@ -224,7 +224,7 @@ def edges_to_candidates(
             off = [
                 int(i)
                 for i, u in zip(live, live_urls)
-                if not url_is_from_any_domain(u, cfg.allowed_domains)
+                if not host_is_from_any_domain(u, cfg.allowed_domains)
             ]
             reason[off] = DROP_OFFSITE
 
