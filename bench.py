@@ -158,12 +158,15 @@ def run_query_bench(sf_dir: str) -> dict:
         "q1_pricing_summary",
         "orders_by_segment",
         "events_minutely",
+        "events_sliding_window",
         "token_stats_by_lang",
         "dedup_exact",
         "minhash_pairs",
         "simhash_pairs",
         "ann_cosine_topk",
         "media_features",
+        "pii_scrub",
+        "stratified_sample",
     ]
     out = {}
     for name in pick:
