@@ -140,6 +140,8 @@ class _AnchorParser(HTMLParser):
         self,
         collect_text: bool = True,
         regions: list[tuple[str | None, str | None, str | None]] | None = None,
+        tags: tuple[str, ...] = ("a", "area"),
+        attrs: tuple[str, ...] = ("href",),
     ) -> None:
         super().__init__(convert_charrefs=True)
         self.anchors: list[list] = []  # [href, rel, [text chunks], in_region]
@@ -148,6 +150,8 @@ class _AnchorParser(HTMLParser):
         self._regions = regions or []
         self._stack: list[tuple[str, bool]] = []  # (tag, matched_a_region)
         self._region_depth = 0
+        self._tags = tags
+        self._attrs = attrs
 
     def _in_region(self, tag: str, d: dict[str, str | None]) -> bool:
         if not self._regions:
@@ -156,15 +160,31 @@ class _AnchorParser(HTMLParser):
             _element_matches(s, tag, d) for s in self._regions
         )
 
+    def _emit(
+        self, tag: str, attrs: list[tuple[str, str | None]], d: dict
+    ) -> list | None:
+        """Append one entry per scanned attribute present on the element
+        (reference ``_iter_links`` scans attributes in element order); all
+        entries of one <a> share the text-chunk list.  Returns the shared
+        text entry to push on the open stack (or None)."""
+        rel = d.get("rel")
+        in_region = self._in_region(tag, d)
+        chunks: list[str] = []
+        first = None
+        for name, value in attrs:
+            if name in self._attrs and value is not None:
+                entry = [value, rel, chunks, in_region]
+                self.anchors.append(entry)
+                if first is None:
+                    first = entry
+        return first
+
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         d = dict(attrs)
-        if tag in ("a", "area"):
-            href = d.get("href")
-            if href is not None:
-                entry = [href, d.get("rel"), [], self._in_region(tag, d)]
-                self.anchors.append(entry)
-                if tag == "a" and self._collect_text:
-                    self._open.append(entry)
+        if tag in self._tags:
+            entry = self._emit(tag, attrs, d)
+            if entry is not None and tag == "a" and self._collect_text:
+                self._open.append(entry)
         if self._regions and tag not in _VOID_ELEMENTS:
             matched = any(_element_matches(s, tag, d) for s in self._regions)
             self._stack.append((tag, matched))
@@ -172,13 +192,8 @@ class _AnchorParser(HTMLParser):
                 self._region_depth += 1
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
-        if tag in ("a", "area"):
-            d = dict(attrs)
-            href = d.get("href")
-            if href is not None:
-                self.anchors.append(
-                    [href, d.get("rel"), [], self._in_region(tag, d)]
-                )
+        if tag in self._tags:
+            self._emit(tag, attrs, dict(attrs))
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a" and self._open:
@@ -211,6 +226,14 @@ class LinkExtractorConfig:
     # restrict_xpaths/css analog: CSS-subset selectors (tag/#id/.class)
     restrict_regions: list[str] = field(default_factory=list)
     unique: bool = True
+    # reference LxmlLinkExtractor extras (lxmlhtml.py:102-160):
+    tags: tuple[str, ...] = ("a", "area")  # elements scanned for links
+    attrs: tuple[str, ...] = ("href",)  # attributes read off those elements
+    # href hook applied BEFORE joining (None ⇒ drop the link) — the
+    # reference's process_value (e.g. pull a URL out of a javascript: href)
+    process_value: object = None
+    # emit canonicalized URLs (dedup always keys on the canonical form)
+    canonicalize: bool = False
 
     def __post_init__(self) -> None:
         self._allow_res = [re.compile(r) for r in self.allow]
@@ -260,7 +283,12 @@ def extract_links(
     incompatible with a ``restrict_text`` config, which reads the text)."""
     if config._restrict_res:
         collect_text = True
-    parser = _AnchorParser(collect_text=collect_text, regions=config._region_sels)
+    parser = _AnchorParser(
+        collect_text=collect_text,
+        regions=config._region_sels,
+        tags=config.tags,
+        attrs=config.attrs,
+    )
     try:
         parser.feed(text)
         parser.close()
@@ -276,6 +304,10 @@ def extract_links(
             continue
         try:
             attr_val = strip_html5_whitespace(href)
+            if config.process_value is not None:
+                attr_val = config.process_value(attr_val)  # type: ignore[operator]
+                if attr_val is None:
+                    continue  # hook dropped the link (reference process_attr)
             attr_val = join_base(attr_val)
         except ValueError:
             continue  # bogus link
@@ -291,6 +323,8 @@ def extract_links(
             and url[url.index("//") + 2 : url.index("//") + 3] not in ("", "/", "?", "#")
         ):
             url = urljoin(response_url_safe, url)
+        if config.canonicalize:
+            url = canonicalize_url(url)
         link = Link(url, "".join(chunks), nofollow=_rel_has_nofollow(rel))
         if config.link_allowed(link):
             links.append(link)

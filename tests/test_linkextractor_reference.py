@@ -137,6 +137,89 @@ class TestReferenceNofollow:
         ]
 
 
+class TestReferenceTagsAttrsProcessValue:
+    TAGS_HTML = (
+        '<html><area href="sample1.html"></area>'
+        '<a href="sample2.html">sample 2</a><img src="sample2.jpg"/></html>'
+    )
+
+    def _links(self, html, **cfg):
+        return [
+            (l.url, l.text)
+            for l in extract_links(
+                html, "http://example.com/index.html", "utf-8",
+                LinkExtractorConfig(**cfg),
+            )
+        ]
+
+    def test_tags(self):
+        # reference test_tags (tests/test_linkextractors.py:427-459)
+        assert self._links(self.TAGS_HTML, tags=()) == []
+        assert self._links(self.TAGS_HTML) == [
+            ("http://example.com/sample1.html", ""),
+            ("http://example.com/sample2.html", "sample 2"),
+        ]
+        assert self._links(self.TAGS_HTML, tags=("area",)) == [
+            ("http://example.com/sample1.html", ""),
+        ]
+        assert self._links(self.TAGS_HTML, tags=("a",)) == [
+            ("http://example.com/sample2.html", "sample 2"),
+        ]
+        assert self._links(
+            self.TAGS_HTML,
+            tags=("a", "img"),
+            attrs=("href", "src"),
+            deny_extensions=frozenset(),
+        ) == [
+            ("http://example.com/sample2.html", "sample 2"),
+            ("http://example.com/sample2.jpg", ""),
+        ]
+
+    def test_tags_attrs(self):
+        # reference test_tags_attrs: custom data attribute on divs
+        html = """
+        <html><body>
+        <div id="item1" data-url="get?id=1"><a href="#">Item 1</a></div>
+        <div id="item2" data-url="get?id=2"><a href="#">Item 2</a></div>
+        </body></html>
+        """
+        assert self._links(html, tags=("div",), attrs=("data-url",)) == [
+            ("http://example.com/get?id=1", ""),
+            ("http://example.com/get?id=2", ""),
+        ]
+
+    def test_process_value(self):
+        # reference test_process_value: pull the target out of javascript:
+        import re as _re
+
+        html = """
+<a href="javascript:goToPage('../other/page.html','photo','width=600'); return false">Text</a>
+<a href="/about.html">About us</a>
+        """
+
+        def process_value(value):
+            m = _re.search(r"javascript:goToPage\('(.*?)'", value)
+            return m.group(1) if m else None
+
+        links = extract_links(
+            html,
+            "http://example.org/somepage/index.html",
+            "utf-8",
+            LinkExtractorConfig(process_value=process_value),
+        )
+        assert [(l.url, l.text) for l in links] == [
+            ("http://example.org/other/page.html", "Text")
+        ]
+
+    def test_canonicalize_option(self):
+        html = '<a href="/a?b=2&a=1#frag">x</a>'
+        links = extract_links(
+            html, "http://example.com/", "utf-8",
+            LinkExtractorConfig(canonicalize=True),
+        )
+        assert [l.url for l in links] == ["http://example.com/a?a=1&b=2"]
+
+
 class TestReferenceMisc:
     def test_encoded_url_base(self):
         # reference test_encoded_url: %2F in the base must survive the join
