@@ -157,6 +157,7 @@ def _q_media(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from scrupyst_ray.pipelines import (
         ann,
+        cluster,
         dedup,
         relational,
         textprep,
@@ -198,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "jaccard_pairs_by_source": dedup.jaccard_pairs_by_source,
+        "neardup_clusters": cluster.neardup_clusters,
+        "neardup_cluster_sizes": cluster.neardup_cluster_sizes,
         # -- similarity search --
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, [0], 10).drop_columns(
             ["query_id"]
@@ -433,6 +436,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
             ORDER BY a, b
+        """,
+        # connected components over the SAME pair graph: min reachable id
+        # per vertex via a recursive transitive-closure CTE (fine at oracle
+        # scale; the Ray side is the log-rounds label-propagation version)
+        "neardup_clusters": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id, source,
+                       list_distinct([substr(text, i, 3)
+                           for i in range(1, greatest(length(text) - 1, 2))])
+                           AS sh
+                FROM documents
+            ),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b AS src, a AS dst FROM p
+            ),
+            reach(v, l) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.v
+            )
+            SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY v ORDER BY doc_id
+        """,
+        "neardup_cluster_sizes": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id, source,
+                       list_distinct([substr(text, i, 3)
+                           for i in range(1, greatest(length(text) - 1, 2))])
+                           AS sh
+                FROM documents
+            ),
+            p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+                SELECT a AS src, b AS dst FROM p
+                UNION ALL SELECT b AS src, a AS dst FROM p
+            ),
+            reach(v, l) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.v
+            ),
+            comp AS (
+                SELECT v AS doc_id, MIN(l) AS cluster_id
+                FROM reach GROUP BY v
+            )
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   COUNT(*) AS n_docs
+            FROM comp GROUP BY 1 ORDER BY 1
         """,
     }
     # the multimodal plumbing gate: the actor pool's deterministic stub
