@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from scrupyst_ray.pipelines import (
         ann,
         cluster,
+        curation,
         dedup,
         relational,
         textprep,
@@ -201,6 +202,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_by_source": dedup.jaccard_pairs_by_source,
         "neardup_clusters": cluster.neardup_clusters,
         "neardup_cluster_sizes": cluster.neardup_cluster_sizes,
+        # -- corpus curation (C4 span dedup / decontamination / packing) --
+        "segment_dedup": curation.segment_dedup,
+        "segment_dedup_stats": curation.segment_dedup_stats,
+        "decontaminate": curation.decontaminate,
+        "pack_sequences": curation.pack_sequences,
+        "packed_sequence_stats": curation.packed_sequence_stats,
         # -- similarity search --
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, [0], 10).drop_columns(
             ["query_id"]
@@ -229,6 +236,56 @@ _SW = (
     "the a an and or of to in is are was were be been it this that for on with"
     " as at by from not have has had but they you we he she"
 ).split()
+
+# shared CTE prologues for the curation oracles (scrupyst_ray/pipelines/
+# curation.py): 5-word segments with first-occurrence keys, and the
+# whitespace-token exclusive prefix sum
+_SEGMENT_DEDUP_CTE = """
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+               FROM documents),
+    segs AS (
+        SELECT doc_id, CAST(g AS BIGINT) AS seg_idx,
+               array_to_string(
+                   words[CAST(g AS BIGINT)*5+1 : CAST(g AS BIGINT)*5+5],
+                   ' ') AS seg
+        FROM w, UNNEST(range(0, CAST(ceil(len(words)/5.0) AS BIGINT))) AS t(g)
+    ),
+    firsts AS (
+        SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS first_key, COUNT(*) AS c
+        FROM segs GROUP BY seg
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_idx, s.seg
+        FROM segs s JOIN firsts f USING (seg)
+        WHERE f.c = 1 OR s.doc_id * 1048576 + s.seg_idx = f.first_key
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id,
+               CAST(ceil(len(regexp_extract_all(text, '\\S+'))/5.0) AS BIGINT)
+                   AS n_segments
+        FROM documents
+    )
+"""
+
+_PACK_CTE = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -496,6 +553,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
                    COUNT(*) AS n_docs
             FROM comp GROUP BY 1 ORDER BY 1
+        """,
+        # C4-style span dedup: every repeated 5-word segment keeps only its
+        # first (doc_id, seg_idx) occurrence; docs rebuilt from kept segments.
+        # DuckDB list slices are 1-based inclusive; the 1048576 stride mirrors
+        # curation._POS_STRIDE.
+        "segment_dedup": _SEGMENT_DEDUP_CTE
+        + """
+            SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+                   t.n_segments,
+                   t.n_segments - COALESCE(a.n_kept, 0) AS n_dropped
+            FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+        """,
+        "segment_dedup_stats": _SEGMENT_DEDUP_CTE
+        + """
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(t.n_segments) AS BIGINT) AS total_segments,
+                   CAST(SUM(t.n_segments - COALESCE(a.n_kept, 0)) AS BIGINT)
+                       AS dropped_segments,
+                   CAST(SUM(CASE WHEN t.n_segments - COALESCE(a.n_kept, 0) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        # benchmark decontamination: doc_id % 10 == 0 is the held-out split;
+        # contaminated = shares any word 8-gram with any benchmark doc
+        "decontaminate": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+                       FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       array_to_string(
+                           words[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+8],
+                           ' ') AS g
+                FROM w, UNNEST(range(0, greatest(len(words) - 7, 0))) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+            hits AS (
+                SELECT DISTINCT doc_id FROM grams
+                WHERE doc_id % 10 != 0 AND g IN (SELECT g FROM bench)
+            )
+            SELECT d.doc_id,
+                   (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+            FROM documents d WHERE d.doc_id % 10 != 0 ORDER BY d.doc_id
+        """,
+        # concat-then-chunk sequence packing: global exclusive prefix sum of
+        # whitespace token counts in doc_id order, chunked at 256 tokens
+        "pack_sequences": _PACK_CTE
+        + """
+            SELECT doc_id, n_tokens, CAST(off // 256 AS BIGINT) AS seq_id,
+                   CAST(off % 256 AS BIGINT) AS seq_offset
+            FROM o ORDER BY doc_id
+        """,
+        "packed_sequence_stats": "WITH p AS ("
+        + _PACK_CTE
+        + """
+            SELECT doc_id, n_tokens, CAST(off // 256 AS BIGINT) AS seq_id
+            FROM o
+        )
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM p GROUP BY 1 ORDER BY 1
         """,
     }
     # the multimodal plumbing gate: the actor pool's deterministic stub

@@ -1,0 +1,405 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+C4-style span dedup, benchmark decontamination, and sequence packing.
+
+These have no analog in the reference engine (scrapy dedups REQUESTS, not
+corpora); the semantics follow the published recipes:
+
+- :func:`segment_dedup` — C4's "discard all but one of any three-sentence
+  span occurring more than once" (Raffel et al., JMLR'20 §2.2), instantiated
+  on fixed-width word segments (the synthetic corpus has no sentence
+  boundaries): any *width*-word segment occurring at more than one
+  (doc, position) keeps only its first occurrence in (doc_id, seg_idx)
+  order; documents are reconstructed from their kept segments.
+- :func:`decontaminate` — eval-benchmark n-gram decontamination (GPT-3
+  paper, Brown et al. '20, Appendix C): a document is contaminated if it
+  shares any word *n*-gram with the held-out benchmark set.
+- :func:`pack_sequences` — training-sequence packing: concatenate documents
+  in doc_id order and split into fixed-*capacity* token windows; each doc
+  gets the (seq_id, seq_offset) where it starts.  The global token offset
+  is a distributed two-level prefix sum (per-bucket partials -> tiny
+  driver-side scan -> per-bucket local cumsum), never a driver-side corpus
+  pass.
+
+Scale shapes (100 TB story):
+- segment_dedup shuffles (doc_id, seg_idx, md5) triples — 16-byte digests,
+  never segment text; the duplicate-position list is size-selected between
+  a broadcast lookup and a distributed left join (``joins.py`` pattern).
+  Exactness rests on md5 (128-bit) collision-freedom, same trade as the
+  exact-dedup digest path.
+- decontaminate broadcasts the BENCHMARK side only (eval sets are small by
+  construction — ray.put once, frozenset membership per batch); the corpus
+  streams.
+- pack_sequences moves one int64 row per document through one groupby
+  keyed by doc_id-range buckets; only num_buckets partial sums reach the
+  driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from scrupyst_ray.functions.textstats import whitespace_token_counts
+from scrupyst_ray.pipelines.joins import (
+    attach_by_key,
+    collect_table,
+    rename,
+)
+
+_TOKEN_RE = re.compile(r"\S+")
+
+# segments per document bound for the packed (doc_id, seg_idx) position key;
+# 2^20 five-word segments = 5M-token documents, far past web-page sizes.
+_POS_STRIDE = 1 << 20
+
+# drop-position lists at or below this many rows broadcast via ray.put; above
+# it they aggregate per doc and LEFT-join distributed (joins.py's size-selected
+# strategy — a dup-heavy corpus must not land its drop set on the driver)
+BROADCAST_DROPS_MAX = 200_000
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup
+# ---------------------------------------------------------------------------
+
+
+def _segments(text: str, width: int) -> list[str]:
+    toks = _TOKEN_RE.findall(text or "")
+    return [
+        " ".join(toks[i * width : (i + 1) * width])
+        for i in range(math.ceil(len(toks) / width))
+    ]
+
+
+def segment_dedup(sf_dir: str, width: int = 5):
+    """(doc_id, clean_text, n_segments, n_dropped) for every document after
+    removing repeated *width*-word segments (first occurrence wins)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, idxs, hs = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for i, seg in enumerate(_segments(t, width)):
+                ids.append(d)
+                idxs.append(i)
+                hs.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        ids_a = pa.array(ids, pa.int64())
+        idx_a = pa.array(idxs, pa.int64())
+        return pa.table(
+            {
+                "doc_id": ids_a,
+                "seg_idx": idx_a,
+                "h": pa.array(hs, pa.string()),
+                "pos_key": pc.add(pc.multiply(ids_a, _POS_STRIDE), idx_a),
+            }
+        )
+
+    # digests only from here on — segment text never crosses a task boundary
+    segs = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    firsts = segs.groupby("h").aggregate(Min("pos_key"), Count())
+    dups = firsts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select(
+            ["h", "min(pos_key)"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # positions to drop = every occurrence of a duplicated segment except its
+    # first: segs ⨝ dups on the digest, size-selected between a broadcast
+    # lookup (duplicates are rare) and a distributed hash join (dup-heavy)
+    n_dups = dups.count()
+    drops = (
+        attach_by_key(segs, dups, "h", "first_key", side_rows=n_dups)
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["pos_key"], t["first_key"])).select(
+                ["doc_id", "seg_idx"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        if n_dups
+        else None
+    )
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        out_text, out_nseg, out_ndrop = [], [], []
+        drop_col = b["drop_idxs"].to_pylist()
+        for t, dr in zip(b["text"].to_pylist(), drop_col):
+            segs_t = _segments(t, width)
+            drop = set(dr or ())
+            out_text.append(
+                " ".join(s for i, s in enumerate(segs_t) if i not in drop)
+            )
+            out_nseg.append(len(segs_t))
+            out_ndrop.append(len(drop))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_segments": pa.array(out_nseg, pa.int64()),
+                "n_dropped": pa.array(out_ndrop, pa.int64()),
+            }
+        )
+
+    n_drops = drops.count() if drops is not None else 0
+    if n_drops == 0:
+        attached = docs.map_batches(
+            lambda b: b.append_column(
+                "drop_idxs", pa.nulls(b.num_rows, pa.list_(pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+    elif n_drops <= BROADCAST_DROPS_MAX:
+        # broadcast the (small) drop map once; docs stream with no shuffle
+        dt = collect_table(drops)
+        dmap: dict[int, list[int]] = {}
+        for d, i in zip(dt["doc_id"].to_pylist(), dt["seg_idx"].to_pylist()):
+            dmap.setdefault(d, []).append(i)
+        ref = ray.put(dmap)
+
+        def attach_bcast(b: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            lists = [m.get(d) for d in b["doc_id"].to_pylist()]
+            return b.append_column(
+                "drop_idxs", pa.array(lists, pa.list_(pa.int64()))
+            )
+
+        attached = docs.map_batches(attach_bcast, batch_format="pyarrow")
+    else:
+        # dup-heavy corpus: a distributed left join expressed as union +
+        # groupby(doc_id) — doc rows carry text, drop rows carry seg_idx;
+        # each group rebuilds its document.  One doc_id-keyed shuffle,
+        # bounded per-group state (one doc + its drop positions).
+        docs_u = docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": b["text"],
+                    "seg_idx": pa.nulls(b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        drops_u = drops.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": pa.nulls(b.num_rows, pa.string()),
+                    "seg_idx": b["seg_idx"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def rebuild_group(g: pa.Table) -> pa.Table:
+            text = next(t for t in g["text"].to_pylist() if t is not None)
+            drop = {i for i in g["seg_idx"].to_pylist() if i is not None}
+            segs_t = _segments(text, width)
+            return pa.table(
+                {
+                    "doc_id": g["doc_id"].slice(0, 1),
+                    "clean_text": pa.array(
+                        [
+                            " ".join(
+                                s for i, s in enumerate(segs_t) if i not in drop
+                            )
+                        ],
+                        pa.string(),
+                    ),
+                    "n_segments": pa.array([len(segs_t)], pa.int64()),
+                    "n_dropped": pa.array([len(drop)], pa.int64()),
+                }
+            )
+
+        return (
+            docs_u.union(drops_u)
+            .groupby("doc_id")
+            .map_groups(rebuild_group, batch_format="pyarrow")
+            .sort("doc_id")
+        )
+
+    return attached.map_batches(rebuild, batch_format="pyarrow").sort("doc_id")
+
+
+def segment_dedup_stats(sf_dir: str, width: int = 5):
+    """One row: corpus-level segment-dedup effect (n_docs, total_segments,
+    dropped_segments, docs_touched) — the curation-report summary."""
+    per_doc = segment_dedup(sf_dir, width)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([b.num_rows], pa.int64()),
+                "total_segments": pa.array(
+                    [pc.sum(b["n_segments"]).as_py() or 0], pa.int64()
+                ),
+                "dropped_segments": pa.array(
+                    [pc.sum(b["n_dropped"]).as_py() or 0], pa.int64()
+                ),
+                "docs_touched": pa.array(
+                    [
+                        pc.sum(
+                            pc.cast(pc.greater(b["n_dropped"], 0), pa.int64())
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = per_doc.map_batches(partial, batch_format="pyarrow")
+    agg = parts.sum(
+        ["n_docs", "total_segments", "dropped_segments", "docs_touched"]
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([agg["sum(n_docs)"]], pa.int64()),
+            "total_segments": pa.array([agg["sum(total_segments)"]], pa.int64()),
+            "dropped_segments": pa.array(
+                [agg["sum(dropped_segments)"]], pa.int64()
+            ),
+            "docs_touched": pa.array([agg["sum(docs_touched)"]], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    toks = _TOKEN_RE.findall(text or "")
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 10):
+    """(doc_id, contaminated) for every NON-benchmark document, where the
+    benchmark split is ``doc_id % bench_mod == 0`` (a deterministic stand-in
+    for a held-out eval set) and contamination = sharing any word *n*-gram
+    with any benchmark document."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mod_is(t: pa.Table, rem_eq: bool) -> pa.Table:
+        d = t["doc_id"]
+        mod = pc.subtract(d, pc.multiply(pc.divide(d, bench_mod), bench_mod))
+        mask = pc.equal(mod, 0) if rem_eq else pc.not_equal(mod, 0)
+        return t.filter(mask)
+
+    bench = docs.map_batches(
+        lambda t: _mod_is(t, True), batch_format="pyarrow"
+    )
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        grams: set[str] = set()
+        for t in b["text"].to_pylist():
+            grams.update(_word_ngrams(t, n))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    # the benchmark side is small by construction (it is an eval set): its
+    # distinct grams collect once and broadcast via ray.put — the corpus
+    # side only ever streams
+    gt = collect_table(bench.map_batches(bench_grams, batch_format="pyarrow"))
+    gram_set = frozenset(gt["g"].to_pylist())
+    ref = ray.put(gram_set)
+
+    def check(b: pa.Table) -> pa.Table:
+        gs = ray.get(ref)
+        flags = [
+            any(g in gs for g in _word_ngrams(t, n))
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "contaminated": pa.array(flags, pa.bool_())}
+        )
+
+    return (
+        docs.map_batches(lambda t: _mod_is(t, False), batch_format="pyarrow")
+        .map_batches(check, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _with_tokens_and_bucket(docs, bucket_size: int):
+    def m(b: pa.Table) -> pa.Table:
+        nt = pc.cast(whitespace_token_counts(b["text"]), pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": nt,
+                "bucket": pc.divide(b["doc_id"], bucket_size),
+            }
+        )
+
+    return docs.map_batches(m, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str, capacity: int = 256, bucket_size: int = 4096):
+    """(doc_id, n_tokens, seq_id, seq_offset): concatenate documents in
+    doc_id order, split into *capacity*-token training sequences; each doc
+    reports the sequence and intra-sequence offset where it STARTS (docs may
+    span a boundary — standard concat-then-chunk packing)."""
+    toks = _with_tokens_and_bucket(
+        _docs(sf_dir, ["doc_id", "text"]), bucket_size
+    ).materialize()
+
+    # level 1: per-bucket token totals — num_buckets rows reach the driver
+    sums = toks.groupby("bucket").aggregate(Sum("n_tokens")).take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    base, acc = {}, 0
+    for r in sums:
+        base[r["bucket"]] = acc
+        acc += r["sum(n_tokens)"]
+    base_ref = ray.put(base)
+
+    # level 2: exclusive cumsum within each bucket + the bucket's base
+    def scan(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["doc_id"])
+        g = g.take(order)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        off = ray.get(base_ref)[g["bucket"][0].as_py()] + np.concatenate(
+            ([0], np.cumsum(nt)[:-1])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "seq_id": pa.array(off // capacity, pa.int64()),
+                "seq_offset": pa.array(off % capacity, pa.int64()),
+            }
+        )
+
+    return (
+        toks.groupby("bucket")
+        .map_groups(scan, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def packed_sequence_stats(sf_dir: str, capacity: int = 256):
+    """(seq_id, n_docs, n_tokens) per training sequence, counting each doc
+    in the sequence where it starts."""
+    packed = pack_sequences(sf_dir, capacity)
+    agg = packed.groupby("seq_id").aggregate(Count(), Sum("n_tokens"))
+    return rename(agg, ["seq_id", "n_docs", "n_tokens"]).sort("seq_id")

@@ -43,6 +43,25 @@ def rename(ds, names: list[str]):
     return ds.map_batches(lambda t: t.rename_columns(names), batch_format="pyarrow")
 
 
+def collect_table(ds) -> pa.Table:
+    """Driver-side collect of a SMALL dataset as one Arrow table.
+
+    Ray Data emits zero-row blocks with an EMPTY schema (map UDFs are
+    skipped on them), so a plain ``pa.concat_tables`` over ``to_arrow_refs``
+    dies with "Schema at index N was different" whenever the pipeline had
+    more read/map tasks than rows.  Drop the column-less empties first; if
+    everything was empty, fall back to the dataset's declared schema."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if tables:
+        return pa.concat_tables(tables, promote_options="default")
+    schema = ds.schema(fetch_if_missing=False)
+    if schema is None:
+        return pa.table({})
+    return pa.table(
+        {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+    )
+
+
 # Broadcast-vs-shuffle selection threshold: a side at or below this many
 # rows ships once via ray.put and is read zero-copy in every task (the
 # brief's "broadcast small sides" pattern); above it, both sides shuffle
@@ -102,7 +121,7 @@ def anti_join_by_key(left, drop, key_col: str, drop_rows=None):
     if drop_rows is None:
         drop_rows = drop.count()
     if _small_enough(drop, drop_rows):
-        keys = pa.concat_tables(ray.get(drop.to_arrow_refs()))
+        keys = collect_table(drop)
         ref = ray.put(keys[keys.column_names[0]].combine_chunks())
 
         def minus(b: pa.Table) -> pa.Table:
@@ -118,7 +137,7 @@ def anti_join_by_key(left, drop, key_col: str, drop_rows=None):
 def broadcast_lookup(ds_small, key_col: str, val_col: str):
     """Collect a SMALL dataset's (key, value) columns once and ``ray.put``
     them as plain Arrow arrays (zero-copy reads in every task)."""
-    t = pa.concat_tables(ray.get(ds_small.select_columns([key_col, val_col]).to_arrow_refs()))
+    t = collect_table(ds_small.select_columns([key_col, val_col]))
     return ray.put((t[key_col].combine_chunks(), t[val_col].combine_chunks()))
 
 

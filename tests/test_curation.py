@@ -1,0 +1,165 @@
+"""Curation operators: C4-style segment dedup, benchmark decontamination,
+sequence packing — hand-built corpora with exactly known answers, plus the
+dup-heavy distributed-join fallback path."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(path: str, texts: list[str]) -> str:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+    return path
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSegmentDedup:
+    def test_first_occurrence_wins(self, tmp_path):
+        # width=2 segments; "a b" appears in doc0 seg0, doc1 seg0, doc0 seg2
+        sf = _write_docs(
+            str(tmp_path),
+            [
+                "a b c d a b",  # segs: "a b", "c d", "a b"(dup)
+                "a b x y",  # segs: "a b"(dup), "x y"
+                "p q",  # segs: "p q" (untouched)
+            ],
+        )
+        from scrupyst_ray.pipelines.curation import segment_dedup
+
+        rows = segment_dedup(sf, width=2).take_all()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[0]["clean_text"] == "a b c d"
+        assert by_id[0]["n_segments"] == 3 and by_id[0]["n_dropped"] == 1
+        assert by_id[1]["clean_text"] == "x y"
+        assert by_id[1]["n_dropped"] == 1
+        assert by_id[2]["clean_text"] == "p q"
+        assert by_id[2]["n_dropped"] == 0
+
+    def test_doc_fully_dropped_becomes_empty(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a b", "a b"])
+        from scrupyst_ray.pipelines.curation import segment_dedup
+
+        rows = segment_dedup(sf, width=2).take_all()
+        assert rows[0]["clean_text"] == "a b"
+        assert rows[1]["clean_text"] == "" and rows[1]["n_dropped"] == 1
+
+    def test_partial_tail_segment(self, tmp_path):
+        # 5 tokens at width 2 → 3 segments, last is the 1-token tail
+        sf = _write_docs(str(tmp_path), ["a b c d e"])
+        from scrupyst_ray.pipelines.curation import segment_dedup
+
+        rows = segment_dedup(sf, width=2).take_all()
+        assert rows[0]["n_segments"] == 3
+        assert rows[0]["clean_text"] == "a b c d e"
+
+    def test_join_fallback_path_matches_broadcast(self, tmp_path, monkeypatch):
+        import scrupyst_ray.pipelines.curation as cur
+
+        texts = ["w%d x%d a b" % (i, i) for i in range(20)] + ["a b"] * 3
+        sf = _write_docs(str(tmp_path), texts)
+        bcast = [
+            (r["doc_id"], r["clean_text"], r["n_dropped"])
+            for r in cur.segment_dedup(sf, width=2).take_all()
+        ]
+        monkeypatch.setattr(cur, "BROADCAST_DROPS_MAX", 0)
+        joined = [
+            (r["doc_id"], r["clean_text"], r["n_dropped"])
+            for r in cur.segment_dedup(sf, width=2).take_all()
+        ]
+        assert bcast == joined
+        # the shared "a b" tail segment kept only its first occurrence
+        assert sum(d for _, _, d in bcast) == 22
+
+    def test_stats_roll_up(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a b c d", "a b", "e f"])
+        from scrupyst_ray.pipelines.curation import segment_dedup_stats
+
+        row = segment_dedup_stats(sf, width=2).to_pylist()[0]
+        assert row == {
+            "n_docs": 3,
+            "total_segments": 4,
+            "dropped_segments": 1,
+            "docs_touched": 1,
+        }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    def test_ngram_overlap_flags(self, tmp_path):
+        # doc 0 is the benchmark (0 % 2 == 0 with bench_mod=2); doc 1 shares
+        # a full 3-gram with it, doc 3 does not
+        sf = _write_docs(
+            str(tmp_path),
+            [
+                "the quick brown fox jumps",  # bench
+                "zz the quick brown yy",  # shares "the quick brown"
+                "another benchmark document here",  # bench
+                "completely different words only",  # clean
+            ],
+        )
+        from scrupyst_ray.pipelines.curation import decontaminate
+
+        rows = decontaminate(sf, n=3, bench_mod=2).take_all()
+        assert [(r["doc_id"], r["contaminated"]) for r in rows] == [
+            (1, True),
+            (3, False),
+        ]
+
+    def test_short_docs_produce_no_grams(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a b c d e", "a b"])
+        from scrupyst_ray.pipelines.curation import decontaminate
+
+        rows = decontaminate(sf, n=3, bench_mod=2).take_all()
+        # doc 1 has only 2 tokens < n → zero 3-grams → clean
+        assert rows == [{"doc_id": 1, "contaminated": False}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def test_offsets_and_boundaries(self, tmp_path):
+        # token counts 3, 4, 2, 5 with capacity 6:
+        # offsets 0, 3, 7, 9 → seq ids 0, 0, 1, 1; offsets-in-seq 0, 3, 1, 3
+        sf = _write_docs(
+            str(tmp_path), ["a a a", "b b b b", "c c", "d d d d d"]
+        )
+        from scrupyst_ray.pipelines.curation import pack_sequences
+
+        rows = pack_sequences(sf, capacity=6).take_all()
+        got = [(r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"]) for r in rows]
+        assert got == [(0, 3, 0, 0), (1, 4, 0, 3), (2, 2, 1, 1), (3, 5, 1, 3)]
+
+    def test_multi_bucket_prefix_sum(self, tmp_path):
+        # bucket_size=2 forces the two-level scan across 5 buckets
+        texts = ["t " * (i + 1) for i in range(10)]  # 1..10 tokens
+        sf = _write_docs(str(tmp_path), [t.strip() for t in texts])
+        from scrupyst_ray.pipelines.curation import pack_sequences
+
+        rows = pack_sequences(sf, capacity=7, bucket_size=2).take_all()
+        off = 0
+        for r in rows:
+            assert r["seq_id"] == off // 7 and r["seq_offset"] == off % 7
+            off += r["n_tokens"]
+
+    def test_stats_partition_tokens(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a a a", "b b b b", "c c"])
+        from scrupyst_ray.pipelines.curation import packed_sequence_stats
+
+        rows = packed_sequence_stats(sf, capacity=4).take_all()
+        assert sum(r["n_tokens"] for r in rows) == 9
+        assert sum(r["n_docs"] for r in rows) == 3
