@@ -85,26 +85,39 @@ def exact_dedup_keep(sf_dir: str):
 # -- MinHash + LSH ---------------------------------------------------------------
 
 
+_HASHERS: dict[int, MinHasher] = {}
+
+
+def _hasher(num_perm: int) -> MinHasher:
+    """Per-worker-process MinHasher cache.  The permutation constants are
+    cheap to build (two 128-element rng draws), so a task-pool stage with a
+    module-level cache gets once-per-process construction WITHOUT the
+    per-query actor-pool spin-up an actor stage pays (~1 s/query measured at
+    32 cpus; Ray reuses worker processes across tasks).  Stages whose state
+    is genuinely expensive (the multimodal extractor, the seen/politeness
+    shards) keep the actor-pool pattern."""
+    h = _HASHERS.get(num_perm)
+    if h is None:
+        h = _HASHERS[num_perm] = MinHasher(num_perm=num_perm)
+    return h
+
+
 def minhash_signatures(sf_dir: str, num_perm: int = 128, k: int = 3):
-    """(doc_id, sig: binary) MinHash signatures — an actor-pool stage: the
-    hasher's permutation constants are built once per actor in __init__."""
+    """(doc_id, sig: binary) MinHash signatures (task pool + cached hasher,
+    see :func:`_hasher`)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    class Signer:
-        def __init__(self):
-            self.hasher = MinHasher(num_perm=num_perm)
+    def sign(b: pa.Table) -> pa.Table:
+        hasher = _hasher(num_perm)
+        sigs = [
+            hasher.signature(shingle_hashes(t, k)).tobytes()
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "sig": pa.array(sigs, pa.binary())}
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            sigs = [
-                self.hasher.signature(shingle_hashes(t, k)).tobytes()
-                for t in b["text"].to_pylist()
-            ]
-            return pa.table(
-                {"doc_id": b["doc_id"], "sig": pa.array(sigs, pa.binary())}
-            )
-
-    # autoscaling actor pool: permutation constants build once per actor
-    return ds.map_batches(Signer, batch_format="pyarrow", concurrency=(2, 16))
+    return ds.map_batches(sign, batch_format="pyarrow")
 
 
 def minhash_pairs(
