@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_by_source": textstats.quality_filter_by_source,
         "doc_analysis": textstats.doc_analysis,
         "doc_quality_metrics": textstats.doc_quality_metrics,
+        "gopher_repetition": textstats.gopher_repetition,
+        "gopher_quality_gate": textstats.gopher_quality_gate,
+        "top_terms_by_lang": textstats.top_terms_by_lang,
         "text_normalize": textprep.text_normalize,
         "pii_scrub": textprep.pii_scrub,
         "stratified_sample": textprep.stratified_sample,
@@ -270,6 +273,32 @@ _SEGMENT_DEDUP_CTE = """
                    AS n_segments
         FROM documents
     )
+"""
+
+# word 2-/3-gram occurrence stats per doc (shared by the gopher_* oracles)
+_GOPHER_CTE = """
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+               FROM documents),
+    g2 AS (SELECT doc_id,
+                  array_to_string(
+                      words[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+2],
+                      ' ') AS g
+           FROM w, UNNEST(range(0, greatest(len(words) - 1, 0))) AS t(i)),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    p2 AS (SELECT doc_id, SUM(c) AS total,
+                  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                  MAX(c) AS top_c
+           FROM c2 GROUP BY 1),
+    g3 AS (SELECT doc_id,
+                  array_to_string(
+                      words[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+3],
+                      ' ') AS g
+           FROM w, UNNEST(range(0, greatest(len(words) - 2, 0))) AS t(i)),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    p3 AS (SELECT doc_id, SUM(c) AS total,
+                  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                  MAX(c) AS top_c
+           FROM c3 GROUP BY 1)
 """
 
 _PACK_CTE = """
@@ -477,6 +506,46 @@ def oracle_sql() -> dict[str, str]:
                        / len(regexp_extract_all(text, '\\S+')))
                        AS stopword_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # Gopher (Rae et al. '21) repeated-n-gram signals; fractions are
+        # printf %.4f on the same int ratios the Ray kernel computes
+        "gopher_repetition": _GOPHER_CTE
+        + """
+            SELECT d.doc_id,
+                   CAST(len(regexp_extract_all(d.text,'\\S+')) AS BIGINT)
+                       AS n_tokens,
+                   printf('%.4f', COALESCE(p2.dup_occ*1.0/p2.total, 0))
+                       AS dup_2gram_frac,
+                   printf('%.4f', COALESCE(p2.top_c*1.0/p2.total, 0))
+                       AS top_2gram_frac,
+                   printf('%.4f', COALESCE(p3.dup_occ*1.0/p3.total, 0))
+                       AS dup_3gram_frac,
+                   printf('%.4f', COALESCE(p3.top_c*1.0/p3.total, 0))
+                       AS top_3gram_frac
+            FROM documents d LEFT JOIN p2 USING(doc_id)
+                             LEFT JOIN p3 USING(doc_id)
+            ORDER BY d.doc_id
+        """,
+        "gopher_quality_gate": _GOPHER_CTE
+        + """
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN p2 USING(doc_id)
+            WHERE len(regexp_extract_all(d.text,'\\S+')) >= 15
+              AND COALESCE(p2.dup_occ*1.0/p2.total, 0) <= 0.15
+              AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
+            ORDER BY d.doc_id
+        """,
+        "top_terms_by_lang": """
+            WITH t AS (SELECT lang, UNNEST(regexp_extract_all(text,'\\S+'))
+                           AS token
+                       FROM documents),
+            c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+            r AS (SELECT lang, token, n,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY n DESC, token) AS rn
+                  FROM c)
+            SELECT lang, token, n FROM r WHERE rn <= 10
+            ORDER BY lang, n DESC, token
         """,
         "jaccard_pairs_by_source": """
             WITH s AS (

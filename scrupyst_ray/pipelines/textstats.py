@@ -184,3 +184,147 @@ def doc_analysis(sf_dir: str):
         )
 
     return ds.map_batches(analyze, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals + gate, corpus-level term statistics
+# ---------------------------------------------------------------------------
+
+_WS_RE = None  # lazy-compiled \S+ tokenizer shared by the repetition kernels
+
+
+def _tokens(text: str) -> list[str]:
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile(r"\S+")
+    return _WS_RE.findall(text or "")
+
+
+def _repetition_row(toks: list[str], n: int) -> tuple[float, float]:
+    """(dup_frac, top_frac) of the word n-grams of one document:
+    dup_frac = fraction of n-gram occurrences whose gram occurs more than
+    once; top_frac = occurrences of the most frequent gram / total.  Both 0.0
+    when the doc has fewer than n tokens (no grams)."""
+    total = len(toks) - n + 1
+    if total <= 0:
+        return 0.0, 0.0
+    from collections import Counter
+
+    counts = Counter(
+        " ".join(toks[i : i + n]) for i in range(total)
+    )
+    dup_occ = sum(c for c in counts.values() if c > 1)
+    return dup_occ / total, max(counts.values()) / total
+
+
+def gopher_repetition(sf_dir: str):
+    """(doc_id, n_tokens, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+    top_3gram_frac) — the Gopher (Rae et al. '21, table A1) repeated-n-gram
+    quality signals, per document.  Fractions are %.4f strings so the DuckDB
+    oracle hashes identically (same convention as ``doc_quality_metrics``)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        toks_col = [_tokens(t) for t in b["text"].to_pylist()]
+        cols: dict[str, list] = {"d2": [], "t2": [], "d3": [], "t3": []}
+        for toks in toks_col:
+            d2, t2 = _repetition_row(toks, 2)
+            d3, t3 = _repetition_row(toks, 3)
+            cols["d2"].append(f"{d2:.4f}")
+            cols["t2"].append(f"{t2:.4f}")
+            cols["d3"].append(f"{d3:.4f}")
+            cols["t3"].append(f"{t3:.4f}")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(
+                    [len(t) for t in toks_col], pa.int64()
+                ),
+                "dup_2gram_frac": pa.array(cols["d2"], pa.string()),
+                "top_2gram_frac": pa.array(cols["t2"], pa.string()),
+                "dup_3gram_frac": pa.array(cols["d3"], pa.string()),
+                "top_3gram_frac": pa.array(cols["t3"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow").sort("doc_id")
+
+
+def gopher_quality_gate(
+    sf_dir: str,
+    min_tokens: int = 15,
+    max_dup_2gram: float = 0.15,
+    max_top_2gram: float = 0.10,
+):
+    """doc_ids passing the Gopher repetition thresholds — the filter a
+    curation pipeline applies before training.  Thresholds compare the RAW
+    fractions (not the formatted strings)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        keep = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = _tokens(t)
+            if len(toks) < min_tokens:
+                continue
+            d2, t2 = _repetition_row(toks, 2)
+            if d2 <= max_dup_2gram and t2 <= max_top_2gram:
+                keep.append(d)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return ds.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
+def top_terms_by_lang(sf_dir: str, k: int = 10):
+    """(lang, token, n) — the *k* most frequent whitespace tokens per
+    language (ties broken by token ascending).
+
+    Scale shape: term counts PRE-AGGREGATE inside each map_batches task
+    (one (lang, token) partial row per batch, not one row per token
+    occurrence), so the groupby shuffles the distinct-term table rather than
+    the corpus; the final per-lang top-k is a tiny map_groups."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: dict[str, Counter] = {}
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            counts.setdefault(lang, Counter()).update(_tokens(t))
+        langs, tokens, ns = [], [], []
+        for lang, c in counts.items():
+            for tok, n in c.items():
+                langs.append(lang)
+                tokens.append(tok)
+                ns.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(tokens, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("sum(n)", "descending"), ("token", "ascending")],
+        )
+        t = g.take(order.slice(0, k))
+        return pa.table(
+            {"lang": t["lang"], "token": t["token"], "n": t["sum(n)"]}
+        )
+
+    return (
+        totals.groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["lang", "n", "token"], descending=[False, True, False])
+    )

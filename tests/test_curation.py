@@ -163,3 +163,58 @@ class TestPackSequences:
         rows = packed_sequence_stats(sf, capacity=4).take_all()
         assert sum(r["n_tokens"] for r in rows) == 9
         assert sum(r["n_docs"] for r in rows) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherRepetition:
+    def test_repetition_fractions(self, tmp_path):
+        # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] → total 5,
+        # all occurrences duplicated (x y ×3, y x ×2) → dup 1.0, top 3/5
+        sf = _write_docs(str(tmp_path), ["x y x y x y", "a b c d e"])
+        from scrupyst_ray.pipelines.textstats import gopher_repetition
+
+        rows = gopher_repetition(sf).take_all()
+        assert rows[0]["dup_2gram_frac"] == "1.0000"
+        assert rows[0]["top_2gram_frac"] == "0.6000"
+        assert rows[1]["dup_2gram_frac"] == "0.0000"
+        # 4 distinct 2-grams in doc 1 → top frac = 1/4
+        assert rows[1]["top_2gram_frac"] == "0.2500"
+
+    def test_short_doc_zero_fractions(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["solo"])
+        from scrupyst_ray.pipelines.textstats import gopher_repetition
+
+        r = gopher_repetition(sf).take_all()[0]
+        assert r["n_tokens"] == 1
+        assert r["dup_2gram_frac"] == "0.0000"
+        assert r["top_3gram_frac"] == "0.0000"
+
+    def test_gate_thresholds(self, tmp_path):
+        long_clean = " ".join(f"w{i}" for i in range(20))
+        long_repeat = "x y " * 10  # dup_2gram 1.0 → filtered
+        short = "a b c"  # < min_tokens → filtered
+        sf = _write_docs(
+            str(tmp_path), [long_clean, long_repeat.strip(), short]
+        )
+        from scrupyst_ray.pipelines.textstats import gopher_quality_gate
+
+        kept = [r["doc_id"] for r in gopher_quality_gate(sf).take_all()]
+        assert kept == [0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopTerms:
+    def test_counts_and_tiebreak(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["b a b c", "a c c c"])
+        from scrupyst_ray.pipelines.textstats import top_terms_by_lang
+
+        rows = top_terms_by_lang(sf, k=2).take_all()
+        # all docs are lang=en; counts: c=4, a=2, b=2 → top-2 = c, a (tie a<b)
+        assert [(r["token"], r["n"]) for r in rows] == [("c", 4), ("a", 2)]
+
+    def test_k_bounds_per_lang(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a b c d e f g h i j k l m n"])
+        from scrupyst_ray.pipelines.textstats import top_terms_by_lang
+
+        rows = top_terms_by_lang(sf, k=10).take_all()
+        assert len(rows) == 10
