@@ -15,9 +15,11 @@ Scale shape (100 TB story):
   rounds (materialize() per round truncates the lineage that iterative
   dataflows otherwise accumulate — blocks stay distributed, nothing lands
   on the driver).
-- Each round is two hash-shuffle joins keyed by vertex id (propagate:
-  edges ⨝ labels; shortcut: labels ⨝ labels) — the standard CC exchange,
-  proportional to |E| + |V|, never all-pairs.
+- Each round is two vertex-id-keyed joins (propagate: edges ⨝ labels;
+  shortcut: labels ⨝ labels) — the standard CC exchange, proportional to
+  |E| + |V|, never all-pairs.  The joins are size-selected
+  (``joins.attach_by_key``): a small label table broadcasts once per round,
+  a 10^9-vertex one takes the distributed hash join.
 - Convergence is detected with a driver-side SCALAR (sum of labels —
   labels only decrease, so an unchanged sum means a fixed point), not by
   materializing either table on the driver.
@@ -37,7 +39,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from scrupyst_ray.pipelines.dedup import jaccard_pairs_by_source
-from scrupyst_ray.pipelines.joins import dist_join, rename
+from scrupyst_ray.pipelines.joins import attach_by_key, rename
 
 
 def _docs(sf_dir: str, columns=None):
@@ -77,12 +79,16 @@ def connected_components(edges, vertices, max_iters: int = 25):
     ).materialize()
     if edges.count() == 0:
         return labels
+    # labels is one int64 pair per vertex; at test scale it broadcasts, at
+    # 10^9 vertices attach_by_key switches both per-round joins to the
+    # distributed hash join automatically (same size-selection as dedup)
+    n_verts = labels.count()
     prev = _label_sum(labels)
     for _ in range(max_iters):
         # propagate: candidate label for dst = label(src), for every edge
         prop = rename(
-            dist_join(
-                edges, labels, "inner", on=("src",), right_on=("v",)
+            attach_by_key(
+                edges, labels, "src", "l", side_rows=n_verts
             ).select_columns(["dst", "l"]),
             ["v", "l"],
         )
@@ -92,12 +98,8 @@ def connected_components(edges, vertices, max_iters: int = 25):
         # pointer jump: l ← label(l).  label(x) ≤ x always (labels start at
         # the identity and only decrease), so the joined l2 replaces l.
         jumped = rename(
-            dist_join(
-                merged,
-                rename(merged, ["v2", "l2"]),
-                "inner",
-                on=("l",),
-                right_on=("v2",),
+            attach_by_key(
+                merged, merged, "l", "l2", side_rows=n_verts
             ).select_columns(["v", "l2"]),
             ["v", "l"],
         ).materialize()
