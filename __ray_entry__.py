@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": textstats.gopher_repetition,
         "gopher_quality_gate": textstats.gopher_quality_gate,
         "top_terms_by_lang": textstats.top_terms_by_lang,
+        "asof_prior_event": relational.asof_prior_event,
         "text_normalize": textprep.text_normalize,
         "pii_scrub": textprep.pii_scrub,
         "stratified_sample": textprep.stratified_sample,
@@ -506,6 +507,20 @@ def oracle_sql() -> dict[str, str]:
                        / len(regexp_extract_all(text, '\\S+')))
                        AS stopword_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # as-of join: most recent prior click per purchase, per user —
+        # DuckDB's native ASOF LEFT JOIN is the oracle
+        "asof_prior_event": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS prior_event_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+            FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
         """,
         # Gopher (Rae et al. '21) repeated-n-gram signals; fractions are
         # printf %.4f on the same int ratios the Ray kernel computes
