@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_gate": textstats.gopher_quality_gate,
         "top_terms_by_lang": textstats.top_terms_by_lang,
         "asof_prior_event": relational.asof_prior_event,
+        "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,
         "pii_scrub": textprep.pii_scrub,
         "stratified_sample": textprep.stratified_sample,
@@ -521,6 +522,20 @@ def oracle_sql() -> dict[str, str]:
             FROM l ASOF LEFT JOIN r
                 ON l.user_id = r.user_id AND l.ts >= r.ts
             ORDER BY l.event_id
+        """,
+        # range join: clicks in the half-open 5-minute window before each
+        # purchase, per user (correlated inequality-join oracle)
+        "clicks_before_purchase": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT ts, user_id FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id,
+                   (SELECT COUNT(*) FROM r
+                    WHERE r.user_id = l.user_id
+                      AND epoch_us(r.ts) > epoch_us(l.ts) - 300000000
+                      AND r.ts < l.ts) AS n_clicks
+            FROM l ORDER BY l.event_id
         """,
         # Gopher (Rae et al. '21) repeated-n-gram signals; fractions are
         # printf %.4f on the same int ratios the Ray kernel computes

@@ -457,3 +457,57 @@ def asof_prior_event(
         .map_groups(merge_group, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def clicks_before_purchase(sf_dir: str, window_s: int = 300):
+    """RANGE JOIN: per purchase event, how many clicks the same user made in
+    the *window_s* seconds strictly before it (``(ts - window, ts)``,
+    half-open: the purchase instant itself is excluded).
+
+    Same composition as :func:`asof_prior_event` (the equality key bounds
+    the range): one user_id-keyed shuffle, then a vectorized two-sided
+    ``np.searchsorted`` per group.  Oracle: a plain inequality join."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b["event_type"],
+            value_set=pa.array(["purchase", "click"], pa.string()),
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "is_left": pc.equal(t["event_type"], "purchase"),
+            }
+        )
+
+    win_us = window_s * 1_000_000
+
+    def count_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["ts"])
+        g = g.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        left_mask = g["is_left"].to_numpy(zero_copy_only=False)
+        l_ts, l_ids = ts[left_mask], ids[left_mask]
+        r_ts = ts[~left_mask]
+        lo = np.searchsorted(r_ts, l_ts - win_us, side="right")
+        hi = np.searchsorted(r_ts, l_ts, side="left")
+        uid = int(g["user_id"][0].as_py())
+        return pa.table(
+            {
+                "event_id": pa.array(l_ids, pa.int64()),
+                "user_id": pa.array(np.full(len(l_ids), uid), pa.int64()),
+                "n_clicks": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(count_group, batch_format="pyarrow")
+        .sort("event_id")
+    )

@@ -87,3 +87,38 @@ class TestAsofPriorEvent:
 
         rows = asof_prior_event(sf).take_all()
         assert rows[0]["prior_event_id"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClicksBeforePurchase:
+    def test_window_bounds_half_open(self, tmp_path):
+        sf = _write_events(
+            str(tmp_path),
+            [
+                (0, 0, 1, "click"),     # exactly window_s before → EXCLUDED
+                (1, 100, 1, "click"),   # inside
+                (2, 300, 1, "click"),   # at the purchase instant → EXCLUDED
+                (3, 300, 1, "purchase"),
+                (4, 299, 2, "purchase"),  # user 2 has no clicks
+            ],
+        )
+        from scrupyst_ray.pipelines.relational import clicks_before_purchase
+
+        rows = clicks_before_purchase(sf, window_s=300).take_all()
+        got = {r["event_id"]: r["n_clicks"] for r in rows}
+        assert got == {3: 1, 4: 0}
+
+    def test_counts_only_same_user(self, tmp_path):
+        sf = _write_events(
+            str(tmp_path),
+            [
+                (0, 10, 1, "click"),
+                (1, 10, 2, "click"),
+                (2, 11, 2, "click"),
+                (3, 20, 2, "purchase"),
+            ],
+        )
+        from scrupyst_ray.pipelines.relational import clicks_before_purchase
+
+        rows = clicks_before_purchase(sf).take_all()
+        assert rows == [{"event_id": 3, "user_id": 2, "n_clicks": 2}]
