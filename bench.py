@@ -167,6 +167,12 @@ def run_query_bench(sf_dir: str) -> dict:
         "media_features",
         "pii_scrub",
         "stratified_sample",
+        "segment_dedup",
+        "pack_sequences",
+        "gopher_repetition",
+        "top_terms_by_lang",
+        "asof_prior_event",
+        "neardup_cluster_sizes",
     ]
     out = {}
     for name in pick:
