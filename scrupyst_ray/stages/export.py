@@ -175,3 +175,41 @@ def _xml_bytes(rows: list[dict]) -> bytes:
         parts.append("</item>")
     parts.append("</items>")
     return "".join(parts).encode()
+
+
+def render_csv(
+    rows: list[dict],
+    fields_to_export: list[str] | None = None,
+    include_headers_line: bool = True,
+    join_multivalued: str = ",",
+    encoding: str = "utf-8",
+    errors: str = "strict",
+) -> bytes:
+    """Reference-conformant CSV item rendering (``exporters.py:231-281``):
+    csv-module \\r\\n line endings, header = fields_to_export (else the
+    first item's key order), list values joined with *join_multivalued* when
+    every element is a string and ``str(list)`` otherwise, all other
+    non-strings ``str()``-serialized, configurable encoding with the
+    exporter's ``errors`` mode (reference golden: xmlcharrefreplace)."""
+    import csv
+
+    if not rows:
+        return b""
+    fields = fields_to_export or list(rows[0].keys())
+    buf = io.StringIO(newline="")
+    w = csv.writer(buf, lineterminator="\r\n")
+    if include_headers_line:
+        w.writerow(fields)
+
+    def ser(v) -> str:
+        if isinstance(v, str):
+            return v
+        if isinstance(v, list):
+            if all(isinstance(x, str) for x in v):
+                return join_multivalued.join(v)
+            return str(v)
+        return str(v)
+
+    for r in rows:
+        w.writerow([ser(r.get(f)) for f in fields])
+    return buf.getvalue().encode(encoding, errors=errors)

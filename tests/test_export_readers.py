@@ -164,3 +164,101 @@ class TestReaders:
         pq.write_table(pa.table({"link": ["x"]}), p)
         with pytest.raises(ValueError):
             read_seeds(p)
+
+
+class TestCsvReferenceGoldens:
+    """Byte-level goldens ported from reference tests/test_exporters.py
+    (TestCsvItemExporter, lines 301-381)."""
+
+    def test_header_export_all(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv([{"age": "22", "name": "John\xa3"}])
+            == b"age,name\r\n22,John\xc2\xa3\r\n"
+        )
+
+    def test_header_export_single_field(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv(
+                [{"age": "22", "name": "John\xa3"}], fields_to_export=["age"]
+            )
+            == b"age\r\n22\r\n"
+        )
+
+    def test_header_export_two_items(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        item = {"age": "22", "name": "John\xa3"}
+        assert (
+            render_csv([item, item])
+            == b"age,name\r\n22,John\xc2\xa3\r\n22,John\xc2\xa3\r\n"
+        )
+
+    def test_no_header_line(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv([{"age": "22", "name": "John\xa3"}], include_headers_line=False)
+            == b"22,John\xc2\xa3\r\n"
+        )
+
+    def test_join_multivalue(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv(
+                [{"friends": ["Mary", "Paul"], "name": "John"}],
+                include_headers_line=False,
+            )
+            == b'"Mary,Paul",John\r\n'
+        )
+
+    def test_join_multivalue_not_strings(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv(
+                [{"friends": [4, 8], "name": "John"}], include_headers_line=False
+            )
+            == b'"[4, 8]",John\r\n'
+        )
+
+    def test_nonstring_types(self):
+        import datetime
+
+        from scrupyst_ray.stages.export import render_csv
+
+        item = {
+            "age": 22,
+            "is": False,
+            "pi": 3.14,
+            "ts": datetime.datetime(2015, 1, 1, 1, 1, 1),
+        }
+        assert (
+            render_csv([item], include_headers_line=False)
+            == b"22,False,3.14,2015-01-01 01:01:01\r\n"
+        )
+
+    def test_errors_default_raises(self):
+        import pytest as _pytest
+
+        from scrupyst_ray.stages.export import render_csv
+
+        with _pytest.raises(UnicodeEncodeError):
+            render_csv([{"text": "Wɵ​rd"}], encoding="windows-1251")
+
+    def test_errors_xmlcharrefreplace(self):
+        from scrupyst_ray.stages.export import render_csv
+
+        assert (
+            render_csv(
+                [{"text": "Wɵ​rd"}],
+                include_headers_line=False,
+                encoding="windows-1251",
+                errors="xmlcharrefreplace",
+            )
+            == b"W&#629;&#8203;rd\r\n"
+        )
