@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": textstats.gopher_repetition,
         "gopher_quality_gate": textstats.gopher_quality_gate,
         "top_terms_by_lang": textstats.top_terms_by_lang,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,
@@ -564,6 +565,24 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(p2.dup_occ*1.0/p2.total, 0) <= 0.15
               AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
             ORDER BY d.doc_id
+        """,
+        # top-5 tf-idf tokens per doc (score = tf × ln(N/df), %.4f strings)
+        "tfidf_top_terms": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text,'\\S+') AS words
+                       FROM documents),
+            t AS (SELECT doc_id, UNNEST(words) AS token FROM w),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nd FROM documents),
+            s AS (SELECT tf.doc_id, tf.token,
+                         tf.tf * ln(n.nd * 1.0 / df.df) AS score
+                  FROM tf JOIN df USING (token), n),
+            r AS (SELECT doc_id, token, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, token) AS rn
+                  FROM s)
+            SELECT doc_id, token, printf('%.4f', score) AS score
+            FROM r WHERE rn <= 5 ORDER BY doc_id, token
         """,
         "top_terms_by_lang": """
             WITH t AS (SELECT lang, UNNEST(regexp_extract_all(text,'\\S+'))

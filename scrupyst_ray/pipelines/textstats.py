@@ -328,3 +328,84 @@ def top_terms_by_lang(sf_dir: str, k: int = 10):
         .map_groups(topk, batch_format="pyarrow")
         .sort(["lang", "n", "token"], descending=[False, True, False])
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """(doc_id, token, score) — the *k* highest tf-idf tokens per document
+    (score = tf × ln(N/df), ties broken by token ascending; %.4f strings for
+    hash-stable comparison).
+
+    Scale shape: the document-frequency table is built with per-batch
+    Counter partials (one row per distinct token per batch) + a token-keyed
+    groupby, then attached to the per-doc term rows via the size-selected
+    ``attach_by_key`` (small vocab broadcasts once; a web-scale vocab takes
+    the distributed hash join); the per-doc top-k is a doc_id-keyed
+    map_groups."""
+    from collections import Counter
+
+    from scrupyst_ray.pipelines.joins import attach_by_key, rename
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok, tf in Counter(_tokens(t)).items():
+                ids.append(d)
+                toks.append(tok)
+                tfs.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    terms = docs.map_batches(term_rows, batch_format="pyarrow").materialize()
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        # each (doc_id, token) row is already distinct per doc → counting
+        # rows per token counts documents
+        c = Counter(b["token"].to_pylist())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = rename(
+        terms.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df_part"),
+        ["token", "df"],
+    ).materialize()
+
+    scored = attach_by_key(terms, df_tbl, "token", "df")
+
+    def topk(g: pa.Table) -> pa.Table:
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log(n_docs / df)
+        t = g.append_column("score_f", pa.array(score, pa.float64()))
+        order = pc.sort_indices(
+            t, sort_keys=[("score_f", "descending"), ("token", "ascending")]
+        )
+        t = t.take(order.slice(0, k))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "token": t["token"],
+                "score": pa.array(
+                    [f"{s:.4f}" for s in t["score_f"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        scored.groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["doc_id", "token"])
+    )

@@ -218,3 +218,34 @@ class TestTopTerms:
 
         rows = top_terms_by_lang(sf, k=10).take_all()
         assert len(rows) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidf:
+    def test_rare_term_scores_highest(self, tmp_path):
+        sf = _write_docs(
+            str(tmp_path),
+            ["common rare common", "common common", "common unique"],
+        )
+        from scrupyst_ray.pipelines.textstats import tfidf_top_terms
+
+        rows = tfidf_top_terms(sf, k=1).take_all()
+        # per doc, the distinctive term wins; "common" (df=3) has idf=0
+        assert [(r["doc_id"], r["token"]) for r in rows] == [
+            (0, "rare"),
+            (1, "common"),  # only term present
+            (2, "unique"),
+        ]
+        import math
+
+        assert rows[0]["score"] == f"{math.log(3):.4f}"
+        assert rows[1]["score"] == "0.0000"
+
+    def test_k_and_tiebreak(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["b a", "z z"])
+        from scrupyst_ray.pipelines.textstats import tfidf_top_terms
+
+        rows = tfidf_top_terms(sf, k=2).take_all()
+        d0 = [r["token"] for r in rows if r["doc_id"] == 0]
+        # equal scores (both df=1, tf=1) → token-ascending tiebreak
+        assert sorted(d0) == ["a", "b"]
