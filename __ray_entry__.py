@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
+        "ann_range_search": lambda sf: ann.range_search(sf, [0, 7, 23, 41], 0.25),
         "embedding_neardup": ann.embedding_neardup_pairs,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
@@ -438,6 +439,19 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                      vec_id
             LIMIT 10
+        """,
+        # range search (ε-ball dual of top-k); threshold applied to the
+        # %.4f-rounded cosine on BOTH sides (float32-list vs float64 parity)
+        "ann_range_search": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 7, 23, 41)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         CAST(list_cosine_similarity(e.embedding, q.qe)
+                             AS DOUBLE) AS c
+                  FROM q, embeddings e)
+            SELECT query_id, vec_id, printf('%.4f', c) AS cos
+            FROM s WHERE CAST(printf('%.4f', c) AS DOUBLE) >= 0.25
+            ORDER BY query_id, vec_id
         """,
         # IVF machinery gate: at full probe the partitioned index must be
         # lossless, so recall vs brute force is exactly 1.0 per query

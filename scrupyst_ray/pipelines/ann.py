@@ -384,3 +384,48 @@ def embedding_neardup_pairs(
     return out.map_batches(
         lambda t: t.rename_columns(["a", "b", "cos"]), batch_format="pyarrow"
     ).sort(["a", "b"])
+
+
+def range_search(
+    sf_dir: str, query_ids: list[int] | None = None, tau: float = 0.25
+):
+    """(query_id, vec_id, cos) — every vector with cosine ≥ *tau* to each
+    query (range search, the ε-ball dual of top-k).
+
+    Same scale shape as :func:`brute_force_topk`: queries broadcast once,
+    each batch emits only its matches, the corpus streams.  The threshold is
+    applied to the cosine ROUNDED to 4 decimals (the cross-engine
+    reproducibility contract — DuckDB computes list_cosine_similarity over
+    float32 lists while numpy works in float64, so raw-boundary comparisons
+    could flap; both sides filter on the identical %.4f value)."""
+    query_ids = query_ids or [0]
+    q = _normalize(load_query_vectors(sf_dir, query_ids))
+    q_ref = ray.put(q)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def matches(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids, m = _to_matrix(batch)
+        sims = qm @ _normalize(m).T
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            # filter on the SAME %.4f value the output carries (np.round
+            # half-even can disagree with C-printf on boundary values)
+            fmt = np.char.mod("%.4f", sims[qi])
+            hit = np.nonzero(fmt.astype(np.float64) >= tau)[0]
+            out_q.extend([int(qid_arr[qi])] * len(hit))
+            out_v.extend(int(ids[t]) for t in hit)
+            out_c.extend(str(fmt[t]) for t in hit)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.string()),
+            }
+        )
+
+    return (
+        _emb(sf_dir)
+        .map_batches(matches, batch_format="pyarrow")
+        .sort(["query_id", "vec_id"])
+    )
