@@ -154,6 +154,17 @@ def _q_media(sf_dir: str):
     )
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame-sampling plumbing gate: the stub's frame digests are dropped
+    (like media_features' fake features), but the explode fan-out, slice
+    sizes and timestamp math must match the documents table exactly."""
+    from scrupyst_ray.stages.multimodal import media_frames
+
+    return media_frames(sf_dir).map_batches(
+        lambda b: b.drop_columns(["frame_digest"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from scrupyst_ray.pipelines import (
         ann,
@@ -236,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csvfeed_rows": webops.csvfeed_rows,
         # -- multimodal plumbing (stubbed decode; real schema/actors) --
         "media_features": _q_media,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -756,6 +768,26 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'video' END AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         FROM documents ORDER BY doc_id
+    """
+    # frame sampling: image = 1 whole-payload frame; audio/video = 4 evenly
+    # split byte slices with floor-division timestamps over the duration
+    out["media_frames"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                   CASE WHEN doc_id % 3 = 0 THEN 0
+                        ELSE 1000 + (doc_id % 7) * 500 END AS dur
+            FROM documents
+        ),
+        f AS (SELECT *, CASE WHEN media_type = 'image' THEN 1 ELSE 4 END AS k
+              FROM m)
+        SELECT media_id, media_type, CAST(i AS INTEGER) AS frame_idx,
+               CAST(dur * i // k AS BIGINT) AS frame_ts_ms,
+               CAST((n * (i + 1)) // k - (n * i) // k AS BIGINT) AS frame_bytes
+        FROM f, UNNEST(range(0, k)) AS t(i)
+        ORDER BY media_id, frame_idx
     """
     # text-prep operators: RE2 regexes and Knuth-hash arithmetic are
     # engine-identical on both sides (pyarrow and DuckDB both bundle RE2)

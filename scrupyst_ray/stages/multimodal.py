@@ -110,7 +110,15 @@ def documents_as_media(sf_dir: str):
                 "payload": pa.array(payloads, pa.binary()),
                 "meta_width": pa.array([64] * len(ids), pa.int32()),
                 "meta_height": pa.array([64] * len(ids), pa.int32()),
-                "meta_duration_ms": pa.array([0] * len(ids), pa.int32()),
+                # deterministic nonzero durations for the timed media kinds
+                # (exercises FrameSampler's timestamp math)
+                "meta_duration_ms": pa.array(
+                    [
+                        0 if kinds[i % 3] == "image" else 1000 + (i % 7) * 500
+                        for i in ids
+                    ],
+                    pa.int32(),
+                ),
             },
             schema=MEDIA_SCHEMA,
         )
@@ -127,3 +135,79 @@ def media_features(sf_dir: str):
         concurrency=2,
         batch_format="pyarrow",
     ).sort("media_id")
+
+
+class FrameSampler:
+    """Actor-pool ``map_batches`` stage: media row → sampled frame rows.
+
+    video/audio rows explode into *n_frames* evenly-spaced frames (byte
+    slices of the payload in this stub — a real build decodes with
+    ffmpeg/torchvision and emits encoded frames; the schema, explode
+    fan-out, actor signature and timestamp math are the real contract);
+    image rows pass through as a single frame at ts 0.
+
+    Use:  ds.map_batches(FrameSampler, batch_size=32, concurrency=N,
+                         batch_format="pyarrow")
+    """
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+        # "codec load" happens here, once per actor
+        try:
+            import av  # noqa: F401  (PyAV, absent in this sandbox)
+
+            self._have_codec = True
+        except ImportError:
+            self._have_codec = False
+
+    def _slices(self, payload: bytes, k: int) -> list[bytes]:
+        n = len(payload)
+        bounds = [n * i // k for i in range(k + 1)]
+        return [payload[bounds[i] : bounds[i + 1]] for i in range(k)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, types, idxs, tss, sizes, digests = [], [], [], [], [], []
+        for mid, mtype, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_duration_ms"].to_pylist(),
+        ):
+            payload = payload or b""
+            if mtype == "image":
+                frames = [payload]
+            else:
+                frames = self._slices(payload, self.n_frames)
+            k = len(frames)
+            for i, fr in enumerate(frames):
+                ids.append(mid)
+                types.append(mtype)
+                idxs.append(i)
+                tss.append((dur or 0) * i // k)
+                sizes.append(len(fr))
+                digests.append(blake2b(fr, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_ts_ms": pa.array(tss, pa.int64()),
+                "frame_bytes": pa.array(sizes, pa.int64()),
+                "frame_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def media_frames(sf_dir: str, n_frames: int = 4):
+    """Frame-sampling pipeline: media table → actor-pool frame explode."""
+    return (
+        documents_as_media(sf_dir)
+        .map_batches(
+            FrameSampler,
+            fn_constructor_kwargs={"n_frames": n_frames},
+            batch_size=32,
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .sort(["media_id", "frame_idx"])
+    )

@@ -148,3 +148,41 @@ class TestMultimodal:
         t2 = media_features(SF).to_pandas()
         assert t.media_id.tolist() == t2.media_id.tolist()
         assert np.array_equal(feats, np.asarray(t2.feature.tolist(), np.float32))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFrameSampling:
+    def test_fanout_and_slice_reconstruction(self):
+        import duckdb
+
+        from scrupyst_ray.stages.multimodal import media_frames
+
+        t = media_frames(SF).to_pandas()
+        per = t.groupby("media_id").size()
+        # image rows (media_id % 3 == 0) → 1 frame; audio/video → 4
+        for mid, n in per.items():
+            assert n == (1 if mid % 3 == 0 else 4)
+        # frame bytes reconstruct the payload exactly
+        sizes = t.groupby("media_id")["frame_bytes"].sum()
+        texts = dict(
+            duckdb.sql(
+                f"SELECT doc_id, octet_length(encode(text)) "
+                f"FROM read_parquet('{SF}/documents.parquet')"
+            ).fetchall()
+        )
+        for mid, total in sizes.items():
+            assert total == texts[mid]
+        # timestamps are monotone within each media row
+        for _, grp in t.groupby("media_id"):
+            ts = grp.sort_values("frame_idx")["frame_ts_ms"].tolist()
+            assert ts == sorted(ts)
+
+    def test_frame_digests_deterministic(self):
+        from scrupyst_ray.stages.multimodal import media_frames
+
+        a = media_frames(SF).to_pandas()
+        b = media_frames(SF).to_pandas()
+        assert a.frame_digest.tolist() == b.frame_digest.tolist()
+        # distinct slices hash differently (first media row's 4 frames)
+        vid = a[a.media_id == 2]
+        assert vid.frame_digest.nunique() == len(vid)
