@@ -232,6 +232,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
         "ann_range_search": lambda sf: ann.range_search(sf, [0, 7, 23, 41], 0.25),
+        # k-means data-mixing ops (rows-only: k-means isn't SQL-expressible;
+        # determinism + assignment correctness are pytest-gated)
+        "embedding_cluster_sizes": ann.embedding_cluster_sizes,
+        "cluster_balanced_sample": ann.cluster_balanced_sample,
         "embedding_neardup": ann.embedding_neardup_pairs,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,

@@ -23,6 +23,7 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Min
@@ -124,7 +125,7 @@ def _kmeans(m: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
     return centroids
 
 
-_IVF_VERSION = 1
+_IVF_VERSION = 2  # v2: quantizer-sample row order pinned (deterministic rebuilds)
 
 
 def _ivf_root(sf_dir: str, n_clusters: int) -> str:
@@ -161,8 +162,15 @@ def build_ivf_index(
     total = emb.count()  # parquet metadata count — no scan
     frac = min(1.0, sample_rows / max(total, 1))
     sample = pa.concat_tables(
-        ray.get(emb.random_sample(frac, seed=seed).to_arrow_refs())
+        [
+            t
+            for t in ray.get(emb.random_sample(frac, seed=seed).to_arrow_refs())
+            if t.num_columns
+        ]
     )
+    # pin row order (block arrival order is nondeterministic and k-means
+    # init indexes rows) so rebuilt stores are bit-identical
+    sample = sample.sort_by("vec_id")
     _, m = _to_matrix(sample)
     centroids = _normalize(_kmeans(_normalize(m), n_clusters))
     cent_ref = ray.put(centroids)
@@ -428,4 +436,92 @@ def range_search(
         _emb(sf_dir)
         .map_batches(matches, batch_format="pyarrow")
         .sort(["query_id", "vec_id"])
+    )
+
+
+def _train_centroids(sf_dir: str, k: int, sample_rows: int = 2048, seed: int = 11):
+    """Seeded-sample k-means centroids over the (normalized) embeddings —
+    same unbiased-sample pattern as :func:`build_ivf_index`."""
+    emb = _emb(sf_dir)
+    total = emb.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    sample = pa.concat_tables(
+        [
+            t
+            for t in ray.get(emb.random_sample(frac, seed=seed).to_arrow_refs())
+            if t.num_columns
+        ]
+    )
+    # block arrival order is nondeterministic; k-means init indexes rows,
+    # so pin the row order before training
+    sample = sample.sort_by("vec_id")
+    _, m = _to_matrix(sample)
+    return _kmeans(_normalize(m), k)
+
+
+def embedding_cluster_sizes(sf_dir: str, k: int = 8):
+    """(cluster_id, n_vectors) — deterministic k-means partition of the
+    embedding corpus (the data-mixing statistic: cluster populations drive
+    mixture weights).  Centroids train once on a seeded sample and broadcast;
+    assignment is one streamed pass (batch matmul, single nearest centroid);
+    sizes are a k-row groupby.  Rows-only (k-means is not SQL-expressible);
+    determinism and assignment-correctness are pytest-gated."""
+    cent = _train_centroids(sf_dir, k)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _to_matrix(b)
+        a = (_normalize(m) @ c.T).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    out = (
+        _emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Count())
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["cluster_id", "n_vectors"]),
+        batch_format="pyarrow",
+    ).sort("cluster_id")
+
+
+def cluster_balanced_sample(sf_dir: str, k: int = 8, per_cluster: int = 25):
+    """(vec_id, cluster_id) — at most *per_cluster* vectors per k-means
+    cluster, chosen deterministically (smallest vec_ids win): the
+    diversity-balanced subsample a mixture-controlled training run draws.
+    One streamed assignment pass + a cluster-keyed top-k (sort inside each
+    of k groups — k is small, groups are row-id pairs only)."""
+    cent = _train_centroids(sf_dir, k)
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _to_matrix(b)
+        a = (_normalize(m) @ c.T).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def head(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["vec_id"])
+        return g.take(order.slice(0, per_cluster))
+
+    return (
+        _emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(head, batch_format="pyarrow")
+        .sort(["cluster_id", "vec_id"])
     )

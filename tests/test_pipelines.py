@@ -186,3 +186,35 @@ class TestFrameSampling:
         # distinct slices hash differently (first media row's 4 frames)
         vid = a[a.media_id == 2]
         assert vid.frame_digest.nunique() == len(vid)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingClustering:
+    def test_sizes_partition_corpus_and_deterministic(self):
+        from scrupyst_ray.pipelines.ann import embedding_cluster_sizes
+
+        a = embedding_cluster_sizes(SF).take_all()
+        assert sum(r["n_vectors"] for r in a) == 500
+        assert len(a) == 8
+        assert a == embedding_cluster_sizes(SF).take_all()
+
+    def test_balanced_sample_assignments_are_nearest_centroid(self):
+        import numpy as np
+
+        from scrupyst_ray.pipelines.ann import (
+            _normalize,
+            _train_centroids,
+            cluster_balanced_sample,
+            load_query_vectors,
+        )
+
+        rows = cluster_balanced_sample(SF, per_cluster=5).take_all()
+        from collections import Counter
+
+        per = Counter(r["cluster_id"] for r in rows)
+        assert all(v <= 5 for v in per.values())
+        cent = _train_centroids(SF, 8)
+        ids = [r["vec_id"] for r in rows]
+        vecs = _normalize(load_query_vectors(SF, ids))
+        nearest = (vecs @ cent.T).argmax(axis=1)
+        assert [int(n) for n in nearest] == [r["cluster_id"] for r in rows]
