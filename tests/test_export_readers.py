@@ -262,3 +262,46 @@ class TestCsvReferenceGoldens:
             )
             == b"W&#629;&#8203;rd\r\n"
         )
+
+
+class TestXmlReferenceGoldens:
+    """Byte-level goldens ported from reference tests/test_exporters.py
+    (TestXmlItemExporter, lines 418-460; whitespace-normalized)."""
+
+    def test_simple_item(self):
+        from scrupyst_ray.stages.export import _xml_bytes
+
+        assert _xml_bytes([{"age": "22", "name": "John\xa3"}]) == (
+            b'<?xml version="1.0" encoding="utf-8"?>\n'
+            b"<items><item><age>22</age><name>John\xc2\xa3</name></item></items>"
+        )
+
+    def test_multivalued_fields(self):
+        from scrupyst_ray.stages.export import _xml_bytes
+
+        got = _xml_bytes([{"name": ["John\xa3", "Doe"], "age": [1, 2, 3]}])
+        assert (
+            b"<name><value>John\xc2\xa3</value><value>Doe</value></name>" in got
+        )
+        assert b"<age><value>1</value><value>2</value><value>3</value></age>" in got
+
+    def test_nested_item(self):
+        from scrupyst_ray.stages.export import _xml_bytes
+
+        i1 = {"age": "22", "name": "foo\xa3hoo"}
+        i2 = {"age": i1, "name": "bar"}
+        got = _xml_bytes([{"age": i2, "name": "buz"}])
+        assert (
+            b"<item><age><age><age>22</age><name>foo\xc2\xa3hoo</name></age>"
+            b"<name>bar</name></age><name>buz</name></item>" in got
+        )
+
+    def test_nested_list_of_dicts(self):
+        from scrupyst_ray.stages.export import _xml_bytes
+
+        i3 = {"name": "buz", "age": [{"name": "foo"}, {"name": "bar"}]}
+        got = _xml_bytes([i3])
+        assert (
+            b"<age><value><name>foo</name></value>"
+            b"<value><name>bar</name></value></age>" in got
+        )
