@@ -69,6 +69,16 @@ class CrawlConfig:
     # scale knobs
     seen_shards: int = 16  # URL-seen / politeness state shards (>= cluster cores)
     max_round_candidates: int = 1_000_000  # frontier cap per round (shuffle bound)
+    # hot-host skew bound (SURVEY §7.4 salting, the "two-phase top-k"): each
+    # PRODUCER task keeps only its local per-host top-N candidates (same
+    # (host, -priority, order_key) order the budget draw uses) before writing
+    # the shard exchange files, so no gate task ever ingests a hot domain's
+    # full candidate set.  None = off (default).  Exact-parity contract: any
+    # row that could ever be admitted has local rank < budget × rounds, so
+    # set N ≥ per-host budget × expected rounds; rows beyond that bound are
+    # dropped un-fingerprinted (re-discoverable later — same contract as the
+    # max_round_candidates tail drop).
+    map_side_host_cap: int | None = None
     fetch_buckets: int = 16  # hash(url) buckets for the fetch join
     parse_batch_size: int = 256  # html-heavy stage batch size
     parse_concurrency: int | None = None  # None = let Ray size the task pool

@@ -47,12 +47,14 @@ Skew story (SURVEY §7.4 "hot-domain skew"):
   per-page link dedup (M14) caps fan-out at unique links; the vectorized
   two-pass dedup costs ~10 µs/row even on the hot shard; and
   ``max_round_candidates`` caps the GLOBAL per-round candidate volume with
-  a priority top-k, so no shard can exceed the cap.  If a deployment needs
-  finer bounds, the salting hook is the candidate writer in
-  ``stages/fetch.py`` — write ``shard-K`` as ``shard-K.S`` salted sub-dirs
-  and give the hot shard S gate tasks whose per-salt winners a second
-  (tiny) pass merges; the budget draw already runs AFTER dedup, so
-  politeness semantics are unchanged.
+  a priority top-k, so no shard can exceed the cap.
+- Finer per-host bounds: ``CrawlConfig.map_side_host_cap`` enables phase-1
+  of the salted two-phase top-k IN the candidate writer
+  (``stages/fetch.py``): each producer task keeps only its local per-host
+  top-N under the budget draw's exact sort order, so a hot domain's
+  candidate volume reaching the gate is bounded by N × producers instead
+  of its full fan-out.  Identity-when-adequate (N ≥ budget × rounds) and
+  the bound itself are pytest-gated (``tests/test_crawl_e2e.py``).
 """
 
 from __future__ import annotations

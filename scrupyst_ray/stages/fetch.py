@@ -361,6 +361,30 @@ class FetchParse:
         # group) with tmp+rename keyed by the stable part_key: idempotent on
         # task retry, and the files ARE the resume checkpoint.
         if self.candidates_dir is not None and kept.num_rows:
+            cap = self.cfg.map_side_host_cap
+            if cap:
+                # phase-1 of the salted two-phase top-k (SURVEY §7.4): local
+                # per-host rank bound under the SAME order the budget draw
+                # sorts by, so every globally-admittable row survives
+                ok_dir = (
+                    "descending" if self.cfg.order_mode == "dfo" else "ascending"
+                )
+                order = pc.sort_indices(
+                    kept,
+                    sort_keys=[
+                        ("host", "ascending"),
+                        ("priority", "descending"),
+                        ("order_key", ok_dir),
+                    ],
+                )
+                kept = kept.take(order)
+                hosts_np = kept["host"].to_numpy(zero_copy_only=False)
+                m = kept.num_rows
+                change = np.empty(m, dtype=bool)
+                change[0] = True
+                change[1:] = hosts_np[1:] != hosts_np[:-1]
+                start = np.maximum.accumulate(np.where(change, np.arange(m), 0))
+                kept = kept.filter(pa.array(np.arange(m) - start < cap))
             shards_col = kept["shard"].to_numpy(zero_copy_only=False)
             for shard_id in np.unique(shards_col):
                 sub = kept.filter(pa.array(shards_col == shard_id))

@@ -189,3 +189,57 @@ class TestCrawlE2E:
         for r in capped_rounds:
             # kept = capped new candidates (= exactly k) + deferred backlog
             assert r.candidates_kept == 25 + r.deferred
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMapSideHostCap:
+    """Phase-1 of the salted two-phase top-k (SURVEY §7.4): an adequate
+    per-producer per-host cap must not change the crawl at all, and it must
+    bound what reaches the gate shards."""
+
+    def _order_and_seen(self, smoke_corpus, tmp_path, cap, tag):
+        cfg = _cfg()
+        cfg.map_side_host_cap = cap
+        wd = str(tmp_path / f"wd_{tag}")
+        eng = CrawlEngine.for_corpus(os.path.join(smoke_corpus, "pages"), wd, cfg)
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        res = eng.run(max_rounds=6)
+        return _engine_order(res), _engine_seen_fps(wd)
+
+    def test_generous_cap_is_identity(self, smoke_corpus, tmp_path):
+        # budget=4/host × 6 rounds → cap 64 can never drop an admittable row
+        base_order, base_seen = self._order_and_seen(
+            smoke_corpus, tmp_path, None, "nocap"
+        )
+        cap_order, cap_seen = self._order_and_seen(
+            smoke_corpus, tmp_path, 64, "cap"
+        )
+        assert cap_order == base_order
+        assert cap_seen == base_seen
+
+    def test_cap_bounds_candidate_files(self, smoke_corpus, tmp_path):
+        import pyarrow as pa
+
+        from scrupyst_ray.stages.exchange import read_exchange_file
+
+        cfg = _cfg()
+        cfg.map_side_host_cap = 3
+        wd = str(tmp_path / "wd_bound")
+        eng = CrawlEngine.for_corpus(os.path.join(smoke_corpus, "pages"), wd, cfg)
+        eng.init_frontier(os.path.join(smoke_corpus, "seeds.parquet"))
+        eng.run(max_rounds=3)
+        # every exchange file (one per producer task per shard) holds at most
+        # cap rows per host
+        rounds_dir = os.path.join(wd, "rounds")
+        checked = 0
+        for root, _dirs, files in os.walk(rounds_dir):
+            for f in files:
+                if "candidates" not in root or not f.startswith("from-"):
+                    continue
+                t = read_exchange_file(os.path.join(root, f))
+                hosts = t["host"].to_pylist()
+                from collections import Counter
+
+                assert all(v <= 3 for v in Counter(hosts).values()), (root, f)
+                checked += 1
+        assert checked > 0
