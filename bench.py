@@ -172,7 +172,11 @@ def run_query_bench(sf_dir: str) -> dict:
         "gopher_repetition",
         "top_terms_by_lang",
         "asof_prior_event",
-        "neardup_cluster_sizes",
+        "decontaminate",
+        "tfidf_top_terms",
+        # neardup_cluster_sizes is excluded: its exact-Jaccard pair graph at
+        # sf0.1 (232k pairs) makes it a ~1 min query — correctness-gated at
+        # sf0.01 instead
     ]
     out = {}
     for name in pick:
