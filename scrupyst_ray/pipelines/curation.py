@@ -21,9 +21,10 @@ corpora); the semantics follow the published recipes:
   pass.
 
 Scale shapes (100 TB story):
-- segment_dedup shuffles (doc_id, seg_idx, md5) triples — 16-byte digests,
-  never segment text; the duplicate-position list is size-selected between
-  a broadcast lookup and a distributed left join (``joins.py`` pattern).
+- segment_dedup shuffles (doc_id, seg_idx, md5-hex) triples — 32-byte
+  digests, never segment text; the duplicate-position list is
+  size-selected between a broadcast lookup and a distributed
+  union + groupby(doc_id) rebuild (``joins.py`` size-selection pattern).
   Exactness rests on md5 (128-bit) collision-freedom, same trade as the
   exact-dedup digest path.
 - decontaminate broadcasts the BENCHMARK side only (eval sets are small by
