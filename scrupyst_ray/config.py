@@ -73,11 +73,14 @@ class CrawlConfig:
     # PRODUCER task keeps only its local per-host top-N candidates (same
     # (host, -priority, order_key) order the budget draw uses) before writing
     # the shard exchange files, so no gate task ever ingests a hot domain's
-    # full candidate set.  None = off (default).  Exact-parity contract: any
-    # row that could ever be admitted has local rank < budget × rounds, so
-    # set N ≥ per-host budget × expected rounds; rows beyond that bound are
-    # dropped un-fingerprinted (re-discoverable later — same contract as the
-    # max_round_candidates tail drop).
+    # full candidate set.  None = off (default).  Parity caveat: the local
+    # rank is computed BEFORE the gate, so already-seen / dup / robots rows
+    # count against N — a fresh admittable URL behind ≥N such rows in one
+    # producer's output is dropped un-fingerprinted (re-discoverable later;
+    # same trade as the max_round_candidates tail drop).  Crawl identity
+    # therefore holds when N ≥ per-host budget × rounds × the host's
+    # candidate-to-admittable inflation, not unconditionally; this is a
+    # boundedness knob, not a free lunch.
     map_side_host_cap: int | None = None
     fetch_buckets: int = 16  # hash(url) buckets for the fetch join
     parse_batch_size: int = 256  # html-heavy stage batch size

@@ -19,6 +19,18 @@ import pyarrow.compute as pc
 # -- token counting -----------------------------------------------------------
 
 _WS_TOKEN_RE = r"\S+"
+
+# Python-side twin of the Arrow/DuckDB tokenizer.  RE2's \S (both oracle
+# sides) is the complement of [\t\n\f\r ]; Python's unicode \S ALSO excludes
+# \xa0 / \x85 / \x1c-\x1f / \v, which RE2 keeps inside tokens — so every
+# Python-loop tokenizer must use this explicit class, not r"\S+", to stay
+# bit-compatible with the SQL oracles on arbitrary input.
+_WS_TOKENS_COMPILED = re.compile(r"[^\t\n\f\r ]+")
+
+
+def ws_tokens(text: str | None) -> list[str]:
+    """Whitespace tokens of *text*, RE2-\\S-exact (see comment above)."""
+    return _WS_TOKENS_COMPILED.findall(text or "")
 # BPE-ish pre-tokenizer (GPT-2-style pattern simplified to ASCII classes —
 # the stdlib `re` lacks \p{L}): contractions, letter runs, digit runs,
 # punctuation runs, whitespace.

@@ -159,20 +159,7 @@ def build_ivf_index(
         return cells_dir, np.load(cent_path)
 
     emb = _emb(sf_dir)
-    total = emb.count()  # parquet metadata count — no scan
-    frac = min(1.0, sample_rows / max(total, 1))
-    sample = pa.concat_tables(
-        [
-            t
-            for t in ray.get(emb.random_sample(frac, seed=seed).to_arrow_refs())
-            if t.num_columns
-        ]
-    )
-    # pin row order (block arrival order is nondeterministic and k-means
-    # init indexes rows) so rebuilt stores are bit-identical
-    sample = sample.sort_by("vec_id")
-    _, m = _to_matrix(sample)
-    centroids = _normalize(_kmeans(_normalize(m), n_clusters))
+    centroids = _train_centroids(sf_dir, n_clusters, sample_rows, seed)
     cent_ref = ray.put(centroids)
 
     def assign(b: pa.Table) -> pa.Table:
@@ -440,8 +427,14 @@ def range_search(
 
 
 def _train_centroids(sf_dir: str, k: int, sample_rows: int = 2048, seed: int = 11):
-    """Seeded-sample k-means centroids over the (normalized) embeddings —
-    same unbiased-sample pattern as :func:`build_ivf_index`."""
+    """NORMALIZED seeded-sample k-means centroids over the embeddings.
+
+    The centroids must be unit-norm because every assignment in this module
+    is ``argmax`` of a raw dot product against normalized vectors — with
+    unnormalized centroids that argmax is nearest-centroid under NO metric
+    (a long centroid wins ties it shouldn't).  Shared by
+    :func:`build_ivf_index` and the cluster ops so the invariant lives in
+    one place."""
     emb = _emb(sf_dir)
     total = emb.count()
     frac = min(1.0, sample_rows / max(total, 1))
@@ -456,7 +449,25 @@ def _train_centroids(sf_dir: str, k: int, sample_rows: int = 2048, seed: int = 1
     # so pin the row order before training
     sample = sample.sort_by("vec_id")
     _, m = _to_matrix(sample)
-    return _kmeans(_normalize(m), k)
+    return _normalize(_kmeans(_normalize(m), k))
+
+
+def _assign_batches(ds, cent_ref, out_col: str = "cluster_id"):
+    """Streamed single-nearest-centroid assignment (batch matmul against the
+    broadcast unit-norm centroid matrix) → (vec_id, out_col)."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _to_matrix(b)
+        a = (_normalize(m) @ c.T).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                out_col: pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def embedding_cluster_sizes(sf_dir: str, k: int = 8):
@@ -466,25 +477,11 @@ def embedding_cluster_sizes(sf_dir: str, k: int = 8):
     assignment is one streamed pass (batch matmul, single nearest centroid);
     sizes are a k-row groupby.  Rows-only (k-means is not SQL-expressible);
     determinism and assignment-correctness are pytest-gated."""
-    cent = _train_centroids(sf_dir, k)
-    cent_ref = ray.put(cent)
-
-    def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        ids, m = _to_matrix(b)
-        a = (_normalize(m) @ c.T).argmax(axis=1)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
-            }
-        )
-
     from ray.data.aggregate import Count
 
+    cent_ref = ray.put(_train_centroids(sf_dir, k))
     out = (
-        _emb(sf_dir)
-        .map_batches(assign, batch_format="pyarrow")
+        _assign_batches(_emb(sf_dir), cent_ref)
         .groupby("cluster_id")
         .aggregate(Count())
     )
@@ -500,27 +497,14 @@ def cluster_balanced_sample(sf_dir: str, k: int = 8, per_cluster: int = 25):
     diversity-balanced subsample a mixture-controlled training run draws.
     One streamed assignment pass + a cluster-keyed top-k (sort inside each
     of k groups — k is small, groups are row-id pairs only)."""
-    cent = _train_centroids(sf_dir, k)
-    cent_ref = ray.put(cent)
-
-    def assign(b: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        ids, m = _to_matrix(b)
-        a = (_normalize(m) @ c.T).argmax(axis=1)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
-            }
-        )
+    cent_ref = ray.put(_train_centroids(sf_dir, k))
 
     def head(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g["vec_id"])
         return g.take(order.slice(0, per_cluster))
 
     return (
-        _emb(sf_dir)
-        .map_batches(assign, batch_format="pyarrow")
+        _assign_batches(_emb(sf_dir), cent_ref)
         .groupby("cluster_id")
         .map_groups(head, batch_format="pyarrow")
         .sort(["cluster_id", "vec_id"])

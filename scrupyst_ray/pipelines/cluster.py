@@ -111,27 +111,35 @@ def connected_components(edges, vertices, max_iters: int = 25):
     return labels
 
 
-def neardup_clusters(sf_dir: str, threshold: float = 0.5, max_iters: int = 25):
-    """(doc_id, cluster_id) for EVERY document: cluster_id = the smallest
-    doc_id in the document's near-dup component (singletons label
-    themselves).  Pair graph: exact same-source 3-gram Jaccard ≥ threshold
-    (``jaccard_pairs_by_source``), so the result is SQL-oracle-checkable."""
+def _neardup_labels(sf_dir: str, threshold: float, max_iters: int):
+    """Unsorted (doc_id, cluster_id) labels over the exact same-source
+    3-gram Jaccard ≥ threshold pair graph (``jaccard_pairs_by_source``)."""
     pairs = (
         jaccard_pairs_by_source(sf_dir, threshold)
         .select_columns(["a", "b"])
         .materialize()
     )
     verts = rename(_docs(sf_dir, ["doc_id"]), ["v"])
-    labels = connected_components(pairs, verts, max_iters)
-    return rename(labels, ["doc_id", "cluster_id"]).sort("doc_id")
+    return rename(
+        connected_components(pairs, verts, max_iters), ["doc_id", "cluster_id"]
+    )
+
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.5, max_iters: int = 25):
+    """(doc_id, cluster_id) for EVERY document: cluster_id = the smallest
+    doc_id in the document's near-dup component (singletons label
+    themselves).  SQL-oracle-checkable (recursive CTE)."""
+    return _neardup_labels(sf_dir, threshold, max_iters).sort("doc_id")
 
 
 def neardup_cluster_sizes(sf_dir: str, threshold: float = 0.5):
     """(cluster_id, n_docs) per component — the sampling-weight /
-    keep-one-per-cluster statistic.  Derived from :func:`neardup_clusters`
-    with one more small groupby."""
-    clusters = neardup_clusters(sf_dir, threshold)
+    keep-one-per-cluster statistic.  Groups the UNSORTED labels (the
+    doc_id sort would be a wasted whole-table shuffle ahead of a
+    different-keyed groupby)."""
     return rename(
-        clusters.groupby("cluster_id").aggregate(Count()),
+        _neardup_labels(sf_dir, threshold, 25)
+        .groupby("cluster_id")
+        .aggregate(Count()),
         ["cluster_id", "n_docs"],
     ).sort("cluster_id")

@@ -53,8 +53,10 @@ Skew story (SURVEY §7.4 "hot-domain skew"):
   (``stages/fetch.py``): each producer task keeps only its local per-host
   top-N under the budget draw's exact sort order, so a hot domain's
   candidate volume reaching the gate is bounded by N × producers instead
-  of its full fan-out.  Identity-when-adequate (N ≥ budget × rounds) and
-  the bound itself are pytest-gated (``tests/test_crawl_e2e.py``).
+  of its full fan-out.  The local rank counts rows the gate later discards
+  (seen/dup/robots), so identity requires N to also cover that inflation
+  (see ``CrawlConfig.map_side_host_cap``); identity-on-the-smoke-corpus
+  and the bound itself are pytest-gated (``tests/test_crawl_e2e.py``).
 """
 
 from __future__ import annotations

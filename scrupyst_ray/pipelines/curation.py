@@ -40,7 +40,6 @@ from __future__ import annotations
 import hashlib
 import math
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -49,14 +48,15 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from scrupyst_ray.functions.textstats import whitespace_token_counts
+from scrupyst_ray.functions.textstats import (
+    whitespace_token_counts,
+    ws_tokens,
+)
 from scrupyst_ray.pipelines.joins import (
     attach_by_key,
     collect_table,
     rename,
 )
-
-_TOKEN_RE = re.compile(r"\S+")
 
 # segments per document bound for the packed (doc_id, seg_idx) position key;
 # 2^20 five-word segments = 5M-token documents, far past web-page sizes.
@@ -80,7 +80,7 @@ def _docs(sf_dir: str, columns=None):
 
 
 def _segments(text: str, width: int) -> list[str]:
-    toks = _TOKEN_RE.findall(text or "")
+    toks = ws_tokens(text)
     return [
         " ".join(toks[i * width : (i + 1) * width])
         for i in range(math.ceil(len(toks) / width))
@@ -286,7 +286,7 @@ def segment_dedup_stats(sf_dir: str, width: int = 5):
 
 
 def _word_ngrams(text: str, n: int) -> list[str]:
-    toks = _TOKEN_RE.findall(text or "")
+    toks = ws_tokens(text)
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
@@ -317,7 +317,9 @@ def decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 10):
     # distinct grams collect once and broadcast via ray.put — the corpus
     # side only ever streams
     gt = collect_table(bench.map_batches(bench_grams, batch_format="pyarrow"))
-    gram_set = frozenset(gt["g"].to_pylist())
+    # a benchmark whose docs are all shorter than n yields zero grams (and
+    # possibly a column-less empty collect)
+    gram_set = frozenset(gt["g"].to_pylist()) if gt.num_columns else frozenset()
     ref = ray.put(gram_set)
 
     def check(b: pa.Table) -> pa.Table:

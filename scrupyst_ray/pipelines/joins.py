@@ -94,6 +94,15 @@ def attach_by_key(pairs, side, key_col: str, payload_as: str, side_rows=None):
     read from the side's metadata (cheap on materialized datasets)."""
     if side_rows is None:
         side_rows = side.count()
+    if side_rows == 0:
+        # inner-join semantics: nothing matches (and the broadcast path
+        # can't even name the side's columns off an all-empty collect)
+        return pairs.map_batches(
+            lambda b: b.slice(0, 0).append_column(
+                payload_as, pa.nulls(0)
+            ),
+            batch_format="pyarrow",
+        )
     if _small_enough(side, side_rows):
         key_name, payload_name = side.columns()[:2]
         ref = broadcast_lookup(side, key_name, payload_name)
@@ -120,6 +129,8 @@ def anti_join_by_key(left, drop, key_col: str, drop_rows=None):
     a large one takes the distributed LEFT ANTI hash join."""
     if drop_rows is None:
         drop_rows = drop.count()
+    if drop_rows == 0:
+        return left  # empty drop set: left passes through unchanged
     if _small_enough(drop, drop_rows):
         keys = collect_table(drop)
         ref = ray.put(keys[keys.column_names[0]].combine_chunks())

@@ -403,6 +403,10 @@ def asof_prior_event(
     the equality key bounds each group — a pure time-range asof with no
     equality key would instead range-partition on ts and replicate one
     boundary row per partition.  Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+    Tie rule: among right rows sharing the greatest ts ≤ left ts, the
+    HIGHEST event_id wins (deterministic; DuckDB's pick among exact-ts ties
+    is unspecified, so oracle parity assumes distinct right timestamps —
+    true of the microsecond-resolution events table).
     """
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
@@ -422,7 +426,11 @@ def asof_prior_event(
         )
 
     def merge_group(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g["ts"])
+        # secondary event_id key: equal-ts rows otherwise keep shuffle
+        # arrival order, making the picked prior_event_id nondeterministic
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
         g = g.take(order)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = g["event_id"].to_numpy(zero_copy_only=False)
@@ -487,7 +495,9 @@ def clicks_before_purchase(sf_dir: str, window_s: int = 300):
     win_us = window_s * 1_000_000
 
     def count_group(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g["ts"])
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
         g = g.take(order)
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ids = g["event_id"].to_numpy(zero_copy_only=False)

@@ -109,12 +109,9 @@ def doc_quality_metrics(sf_dir: str):
     ``__ray_entry__.oracle_sql``): tokens are ``\\S+`` matches, character
     classes are explicit ASCII/Latin ranges, ratios are int/int divisions
     formatted ``%.4f``."""
-    import re
-
-    from scrupyst_ray.functions.textstats import _EN_STOPWORDS
+    from scrupyst_ray.functions.textstats import _EN_STOPWORDS, ws_tokens
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    token_re = re.compile(r"\S+")
 
     def metrics(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -128,7 +125,7 @@ def doc_quality_metrics(sf_dir: str):
         # stopword hits need exact token-set membership (no Arrow kernel);
         # compiled regex + frozenset per row, inside the batch
         sw_hits = [
-            sum(1 for t in token_re.findall(txt.lower()) if t in _EN_STOPWORDS)
+            sum(1 for t in ws_tokens(txt.lower()) if t in _EN_STOPWORDS)
             for txt in texts
         ]
         nt = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -190,16 +187,8 @@ def doc_analysis(sf_dir: str):
 # Gopher-style repetition signals + gate, corpus-level term statistics
 # ---------------------------------------------------------------------------
 
-_WS_RE = None  # lazy-compiled \S+ tokenizer shared by the repetition kernels
-
-
-def _tokens(text: str) -> list[str]:
-    global _WS_RE
-    if _WS_RE is None:
-        import re
-
-        _WS_RE = re.compile(r"\S+")
-    return _WS_RE.findall(text or "")
+from scrupyst_ray.functions.textstats import ws_tokens as _tokens  # noqa: E402
+# (RE2-\S-exact tokenizer shared with curation.py — see ws_tokens)
 
 
 def _repetition_row(toks: list[str], n: int) -> tuple[float, float]:

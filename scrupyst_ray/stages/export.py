@@ -202,9 +202,13 @@ def render_csv(
         w.writerow(fields)
 
     def ser(v) -> str:
+        if v is None:
+            # missing/None fields render as empty cells (reference
+            # _get_serialized_fields(default_value="", include_empty=True))
+            return ""
         if isinstance(v, str):
             return v
-        if isinstance(v, list):
+        if isinstance(v, (list, tuple)):
             if all(isinstance(x, str) for x in v):
                 return join_multivalued.join(v)
             return str(v)

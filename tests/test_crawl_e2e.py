@@ -194,8 +194,11 @@ class TestCrawlE2E:
 @pytest.mark.usefixtures("ray_session")
 class TestMapSideHostCap:
     """Phase-1 of the salted two-phase top-k (SURVEY §7.4): an adequate
-    per-producer per-host cap must not change the crawl at all, and it must
-    bound what reaches the gate shards."""
+    per-producer per-host cap must not change the crawl, and it must bound
+    what reaches the gate shards.  "Adequate" covers gate-discarded rows
+    too (the local rank counts seen/dup candidates — see
+    CrawlConfig.map_side_host_cap); the smoke corpus at cap=64 satisfies
+    that comfortably."""
 
     def _order_and_seen(self, smoke_corpus, tmp_path, cap, tag):
         cfg = _cfg()

@@ -214,7 +214,13 @@ class TestEmbeddingClustering:
         per = Counter(r["cluster_id"] for r in rows)
         assert all(v <= 5 for v in per.values())
         cent = _train_centroids(SF, 8)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)  # unit-norm
         ids = [r["vec_id"] for r in rows]
         vecs = _normalize(load_query_vectors(SF, ids))
-        nearest = (vecs @ cent.T).argmax(axis=1)
-        assert [int(n) for n in nearest] == [r["cluster_id"] for r in rows]
+        # independent formulation: EUCLIDEAN nearest centroid (not the
+        # pipeline's dot-product argmax — equivalent only because the
+        # centroids are unit-norm, which is exactly the invariant under test)
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assert [int(n) for n in d.argmin(axis=1)] == [
+            r["cluster_id"] for r in rows
+        ]
