@@ -249,3 +249,45 @@ class TestTfidf:
         d0 = [r["token"] for r in rows if r["doc_id"] == 0]
         # equal scores (both df=1, tf=1) → token-ascending tiebreak
         assert sorted(d0) == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptySideGuards:
+    def test_decontaminate_all_short_benchmark(self, tmp_path):
+        # every benchmark doc (doc_id % 2 == 0) is shorter than n → zero
+        # benchmark grams → nothing can be contaminated (and the empty
+        # collect must not crash)
+        sf = _write_docs(
+            str(tmp_path), ["a b", "one two three four five", "c d", "x y z w v"]
+        )
+        from scrupyst_ray.pipelines.curation import decontaminate
+
+        rows = decontaminate(sf, n=3, bench_mod=2).take_all()
+        assert [(r["doc_id"], r["contaminated"]) for r in rows] == [
+            (1, False),
+            (3, False),
+        ]
+
+    def test_attach_by_key_empty_side(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from scrupyst_ray.pipelines.joins import attach_by_key
+
+        left = rd.from_arrow(
+            pa.table({"k": pa.array([1, 2], pa.int64()), "x": ["a", "b"]})
+        )
+        empty = left.filter(expr="k > 99").select_columns(["k", "x"])
+        out = attach_by_key(left, empty, "k", "payload")
+        assert out.count() == 0
+
+    def test_anti_join_empty_drop_passthrough(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from scrupyst_ray.pipelines.joins import anti_join_by_key
+
+        left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+        empty = left.filter(expr="k > 99")
+        out = anti_join_by_key(left, empty, "k")
+        assert sorted(r["k"] for r in out.take_all()) == [1, 2, 3]
