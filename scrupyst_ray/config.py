@@ -68,6 +68,11 @@ class CrawlConfig:
     middlewares: dict = field(default_factory=dict)
     # scale knobs
     seen_shards: int = 16  # URL-seen / politeness state shards (>= cluster cores)
+    # URL-seen negative-path sketch: "bloom" (smallest memory) or "cuckoo"
+    # (state/cuckoo.py — supports delete, so SeenState.forget keeps the
+    # sketch tight under recrawl churn).  Results are identical either way:
+    # sketch positives are always confirmed against the exact shard dict.
+    seen_sketch: str = "bloom"
     max_round_candidates: int = 1_000_000  # frontier cap per round (shuffle bound)
     # hot-host skew bound (SURVEY §7.4 salting, the "two-phase top-k"): each
     # PRODUCER task keeps only its local per-host top-N candidates (same

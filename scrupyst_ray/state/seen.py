@@ -29,14 +29,51 @@ _DELTA_SCHEMA = pa.schema([("fp", pa.binary()), ("fp64", pa.uint64())])
 
 
 class SeenState:
-    """Exact fingerprint set + bloom negative-path pre-filter for one shard."""
+    """Exact fingerprint set + sketch negative-path pre-filter for one shard.
 
-    def __init__(self, shard_id: int, bloom_capacity: int = 1 << 20):
+    ``sketch`` picks the pre-filter per BASELINE.json's "bloom/cuckoo":
+    "bloom" (default — smallest memory) or "cuckoo" (``state/cuckoo.py`` —
+    supports DELETE, which :meth:`forget` needs to keep the sketch tight
+    under recrawl churn; a bloom only accumulates).  Either way positives
+    are confirmed against the exact dict, so results are identical."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        bloom_capacity: int = 1 << 20,
+        sketch: str = "bloom",
+    ):
+        from scrupyst_ray.state.cuckoo import CuckooFilter
+
         self.shard_id = shard_id
         self._exact: dict[bytes, int] = {}  # fp -> round first recorded
-        self._bloom = Bloom(bloom_capacity)
+        if sketch == "cuckoo":
+            self._bloom = CuckooFilter(bloom_capacity)
+        elif sketch == "bloom":
+            self._bloom = Bloom(bloom_capacity)
+        else:
+            raise ValueError(f"unknown seen sketch {sketch!r}")
         self._pending_delta: list[bytes] = []  # fps recorded since last flush
         self.stats = {"checked": 0, "filtered": 0, "bloom_negatives": 0}
+
+    def forget(self, fps: list[bytes]) -> int:
+        """Remove fingerprints from the seen set (recrawl re-admission).
+        Returns how many were present.  With the cuckoo sketch the slots are
+        freed too; with a bloom the stale sketch bits just cost an exact
+        lookup on the next sighting (still correct — sketch positives are
+        always confirmed)."""
+        removed = []
+        for fp in fps:
+            if self._exact.pop(fp, None) is not None:
+                removed.append(fp)
+        if removed and hasattr(self._bloom, "delete_many"):
+            keys = np.fromiter(
+                (int.from_bytes(fp[:8], "big") for fp in removed),
+                dtype=np.uint64,
+                count=len(removed),
+            )
+            self._bloom.delete_many(keys)
+        return len(removed)
 
     def __len__(self) -> int:
         return len(self._exact)

@@ -56,12 +56,15 @@ class _StateShard:
         round_seconds: float = 8.0,
         robotstxt_obey: bool = True,
         bloom_capacity: int = 1 << 20,
+        seen_sketch: str = "bloom",
         robots_path: str | None = None,
         download_slots: dict | None = None,
         throttle_config: dict | None = None,
     ):
         self.shard_id = shard_id
-        self.seen = SeenState(shard_id, bloom_capacity=bloom_capacity)
+        self.seen = SeenState(
+            shard_id, bloom_capacity=bloom_capacity, sketch=seen_sketch
+        )
         # AutoThrottle (ST5): enabled by passing {"start_delay", "max_delay",
         # "target_concurrency"}; min delay is the static download_delay
         # (reference extensions/throttle.py:50-56)
