@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster,
         curation,
         dedup,
+        lm,
         relational,
         textprep,
         textstats,
@@ -205,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_gate": textstats.gopher_quality_gate,
         "top_terms_by_lang": textstats.top_terms_by_lang,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "bigram_lm_ppl": lm.bigram_lm_ppl,
+        "lm_ppl_by_source": lm.lm_ppl_by_source,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,
@@ -595,6 +598,53 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(p2.dup_occ*1.0/p2.total, 0) <= 0.15
               AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
             ORDER BY d.doc_id
+        """,
+        # add-one bigram-LM perplexity per doc, LM trained on the corpus
+        # itself: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); ppl = exp(-avg ln P)
+        "bigram_lm_ppl": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            u AS (SELECT UNNEST(ws) AS tok FROM w),
+            c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY 1),
+            v AS (SELECT COUNT(*) AS v FROM c1),
+            bg AS (SELECT doc_id,
+                          UNNEST([ws[i] || ' ' || ws[i+1]
+                                  for i in range(1, len(ws))]) AS bg
+                   FROM w),
+            bc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1),
+            j AS (SELECT b.doc_id,
+                         ln((bc.c2 + 1) * 1.0 / (c1.c + v.v)) AS lp
+                  FROM bg b
+                  JOIN bc USING (bg)
+                  JOIN c1 ON c1.tok = split_part(b.bg, ' ', 1), v)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   printf('%.4f', exp(-SUM(lp) / COUNT(*))) AS ppl
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
+        "lm_ppl_by_source": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            u AS (SELECT UNNEST(ws) AS tok FROM w),
+            c1 AS (SELECT tok, COUNT(*) AS c FROM u GROUP BY 1),
+            v AS (SELECT COUNT(*) AS v FROM c1),
+            bg AS (SELECT doc_id,
+                          UNNEST([ws[i] || ' ' || ws[i+1]
+                                  for i in range(1, len(ws))]) AS bg
+                   FROM w),
+            bc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1),
+            j AS (SELECT b.doc_id,
+                         ln((bc.c2 + 1) * 1.0 / (c1.c + v.v)) AS lp
+                  FROM bg b
+                  JOIN bc USING (bg)
+                  JOIN c1 ON c1.tok = split_part(b.bg, ' ', 1), v),
+            p AS (SELECT doc_id, exp(-SUM(lp) / COUNT(*)) AS ppl
+                  FROM j GROUP BY doc_id)
+            SELECT d.source, COUNT(*) AS n_docs,
+                   printf('%.4f', AVG(p.ppl)) AS avg_ppl
+            FROM p JOIN documents d USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
         """,
         # top-5 tf-idf tokens per doc (score = tf × ln(N/df), %.4f strings)
         "tfidf_top_terms": """
