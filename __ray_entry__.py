@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "packed_sequence_stats": curation.packed_sequence_stats,
+        "source_mixing_weights": curation.source_mixing_weights,
         # -- similarity search --
         "ann_cosine_topk": lambda sf: ann.brute_force_topk(sf, [0], 10).drop_columns(
             ["query_id"]
@@ -793,6 +794,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
             FROM documents d WHERE d.doc_id % 10 != 0 ORDER BY d.doc_id
+        """,
+        # temperature-scaled source mixing: w = t^0.7 / Σ t^0.7 over
+        # whitespace-token totals per source
+        "source_mixing_weights": """
+            WITH s AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   printf('%.6f', pow(n_tokens, 0.7) /
+                          SUM(pow(n_tokens, 0.7)) OVER ()) AS weight
+            FROM s ORDER BY source
         """,
         # concat-then-chunk sequence packing: global exclusive prefix sum of
         # whitespace token counts in doc_id order, chunked at 256 tokens

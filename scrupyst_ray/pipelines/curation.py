@@ -406,3 +406,47 @@ def packed_sequence_stats(sf_dir: str, capacity: int = 256):
     packed = pack_sequences(sf_dir, capacity)
     agg = packed.groupby("seq_id").aggregate(Count(), Sum("n_tokens"))
     return rename(agg, ["seq_id", "n_docs", "n_tokens"]).sort("seq_id")
+
+
+def source_mixing_weights(sf_dir: str, alpha: float = 0.7):
+    """(source, n_docs, n_tokens, weight) — temperature-scaled data-mixing
+    weights per corpus source: ``w_s = t_s^alpha / Σ t^alpha`` over
+    whitespace-token totals (the multinomial upsampling rule used to flatten
+    source-size skew in LLM training mixtures; alpha=1 is proportional,
+    alpha→0 is uniform).
+
+    Scale shape: token totals come from a pure-Arrow regex count inside
+    map_batches (no Python row loop) reduced by a source-keyed groupby; the
+    normalization runs on the aggregated table, which has one row per
+    SOURCE (a few dozen at any corpus size), so the driver never sees doc
+    rows.  Weights are ``%.6f`` strings for hash-stable comparison."""
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], pattern=r"\S+")
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(), Sum("n_tokens"))
+    )
+    t = collect_table(agg)  # one row per source — bounded
+    order = pc.sort_indices(t["source"])
+    t = t.take(order)
+    tok = t["sum(n_tokens)"].to_numpy(zero_copy_only=False).astype(np.float64)
+    scaled = np.power(tok, float(alpha))
+    w = scaled / scaled.sum()
+    return pa.table(
+        {
+            "source": t["source"],
+            "n_docs": pc.cast(t["count()"], pa.int64()),
+            "n_tokens": pc.cast(t["sum(n_tokens)"], pa.int64()),
+            "weight": pa.array([f"{x:.6f}" for x in w], pa.string()),
+        }
+    )

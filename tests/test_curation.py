@@ -291,3 +291,43 @@ class TestEmptySideGuards:
         empty = left.filter(expr="k > 99")
         out = anti_join_by_key(left, empty, "k")
         assert sorted(r["k"] for r in out.take_all()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceMixingWeights:
+    def _write(self, path: str) -> str:
+        os.makedirs(path, exist_ok=True)
+        texts = ["a b c d"] * 8 + ["x y"] * 2  # srcA 32 tokens, srcB 4
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "source": pa.array(["srcA"] * 8 + ["srcB"] * 2),
+                }
+            ),
+            os.path.join(path, "documents.parquet"),
+        )
+        return path
+
+    def test_temperature_flattens_skew(self, tmp_path):
+        from scrupyst_ray.pipelines.curation import source_mixing_weights
+
+        sf = self._write(str(tmp_path))
+        t = source_mixing_weights(sf, alpha=0.7).to_pylist()
+        by = {r["source"]: r for r in t}
+        assert by["srcA"]["n_tokens"] == 32 and by["srcB"]["n_tokens"] == 4
+        wa, wb = float(by["srcA"]["weight"]), float(by["srcB"]["weight"])
+        assert abs(wa + wb - 1.0) < 1e-6
+        # alpha=0.7 upweights the small source vs proportional (4/36=0.111)
+        assert 0.111 < wb < 0.5
+        sa, sb = 32**0.7, 4**0.7
+        assert by["srcB"]["weight"] == f"{sb / (sa + sb):.6f}"
+
+    def test_alpha_one_is_proportional(self, tmp_path):
+        from scrupyst_ray.pipelines.curation import source_mixing_weights
+
+        sf = self._write(str(tmp_path))
+        t = source_mixing_weights(sf, alpha=1.0).to_pylist()
+        by = {r["source"]: r for r in t}
+        assert by["srcA"]["weight"] == f"{32 / 36:.6f}"
