@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
         "ann_range_search": lambda sf: ann.range_search(sf, [0, 7, 23, 41], 0.25),
+        "embedding_covariance": ann.embedding_covariance,
         # k-means data-mixing ops (rows-only: k-means isn't SQL-expressible;
         # determinism + assignment correctness are pytest-gated)
         "embedding_cluster_sizes": ann.embedding_cluster_sizes,
@@ -472,6 +473,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, printf('%.4f', c) AS cos
             FROM s WHERE CAST(printf('%.4f', c) AS DOUBLE) >= 0.25
             ORDER BY query_id, vec_id
+        """,
+        # upper-triangle sample covariance of the 64 embedding dims; both
+        # sides widen float32 to DOUBLE before any product
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id, i, CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE) AS v
+                FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+            ),
+            p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sxy
+                  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY 1, 2),
+            m AS (SELECT i, SUM(v) AS sx FROM x GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM embeddings)
+            SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j,
+                   printf('%.4f', (p.sxy - ma.sx * mb.sx / n.n) / (n.n - 1))
+                       AS cov
+            FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j, n
+            ORDER BY i, j
         """,
         # IVF machinery gate: at full probe the partitioned index must be
         # lossless, so recall vs brute force is exactly 1.0 per query

@@ -509,3 +509,50 @@ def cluster_balanced_sample(sf_dir: str, k: int = 8, per_cluster: int = 25):
         .map_groups(head, batch_format="pyarrow")
         .sort(["cluster_id", "vec_id"])
     )
+
+
+def embedding_covariance(sf_dir: str):
+    """(i, j, cov) — upper-triangle sample covariance of the embedding
+    dimensions, computed with the distributed Gram-matrix pattern: every
+    batch contributes one (XᵀX, Σx, n) partial (a d×d numpy matmul — the
+    whole corpus never leaves the workers), the driver combines #batches
+    tiny partials and finishes ``cov = (G − s·sᵀ/n) / (n−1)``.
+
+    The per-batch partial is O(d²) floats regardless of batch size, so the
+    driver-side combine is bounded by the batch count, not the corpus —
+    the same shape at 10^9 vectors.  ``%.4f`` strings for hash-stable
+    oracle comparison (float32 inputs widen to float64 before any product,
+    matching the SQL oracle's explicit DOUBLE casts)."""
+    ds = _emb(sf_dir)
+
+    def partials(b: pa.Table) -> pa.Table:
+        _, m = _to_matrix(b)
+        g = m.T @ m
+        return pa.table(
+            {
+                "g": pa.array([g.ravel().tolist()], pa.list_(pa.float64())),
+                "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "n": pa.array([m.shape[0]], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    d = int(np.sqrt(len(parts[0]["g"])))
+    g = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for p in parts:
+        g += np.asarray(p["g"]).reshape(d, d)
+        s += np.asarray(p["s"])
+        n += p["n"]
+    cov = (g - np.outer(s, s) / n) / (n - 1)
+    iu, ju = np.triu_indices(d)
+    return pa.table(
+        {
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "cov": pa.array(
+                [f"{cov[a, b]:.4f}" for a, b in zip(iu, ju)], pa.string()
+            ),
+        }
+    )

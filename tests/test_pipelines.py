@@ -224,3 +224,22 @@ class TestEmbeddingClustering:
         assert [int(n) for n in d.argmin(axis=1)] == [
             r["cluster_id"] for r in rows
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingCovariance:
+    def test_matches_numpy_cov(self):
+        from scrupyst_ray.pipelines.ann import embedding_covariance
+
+        t = embedding_covariance(SF).to_pandas()
+        emb = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchdf()
+        m = np.asarray(emb.embedding.tolist(), dtype=np.float64)
+        want = np.cov(m, rowvar=False)  # sample covariance, ddof=1
+        assert len(t) == 64 * 65 // 2  # upper triangle incl. diagonal
+        got = {(r.i, r.j): r.cov for r in t.itertuples()}
+        for (i, j), v in got.items():
+            assert i <= j
+            assert v == f"{want[i, j]:.4f}"
