@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
         "ann_range_search": lambda sf: ann.range_search(sf, [0, 7, 23, 41], 0.25),
         "embedding_covariance": ann.embedding_covariance,
+        "pca_explained_variance": ann.pca_explained_variance,
         # k-means data-mixing ops (rows-only: k-means isn't SQL-expressible;
         # determinism + assignment correctness are pytest-gated)
         "embedding_cluster_sizes": ann.embedding_cluster_sizes,

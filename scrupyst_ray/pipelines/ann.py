@@ -523,6 +523,21 @@ def embedding_covariance(sf_dir: str):
     the same shape at 10^9 vectors.  ``%.4f`` strings for hash-stable
     oracle comparison (float32 inputs widen to float64 before any product,
     matching the SQL oracle's explicit DOUBLE casts)."""
+    cov, _, _ = _cov_and_mean(sf_dir)
+    iu, ju = np.triu_indices(cov.shape[0])
+    return pa.table(
+        {
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "cov": pa.array(
+                [f"{cov[a, b]:.4f}" for a, b in zip(iu, ju)], pa.string()
+            ),
+        }
+    )
+
+
+def _cov_and_mean(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Combine the per-batch (XᵀX, Σx, n) partials into (cov, mean, n)."""
     ds = _emb(sf_dir)
 
     def partials(b: pa.Table) -> pa.Table:
@@ -538,21 +553,56 @@ def embedding_covariance(sf_dir: str):
 
     parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
     d = int(np.sqrt(len(parts[0]["g"])))
-    g = np.zeros((d, d))
-    s = np.zeros(d)
-    n = 0
+    g, s, n = np.zeros((d, d)), np.zeros(d), 0
     for p in parts:
         g += np.asarray(p["g"]).reshape(d, d)
         s += np.asarray(p["s"])
         n += p["n"]
+    mean = s / n
     cov = (g - np.outer(s, s) / n) / (n - 1)
-    iu, ju = np.triu_indices(d)
+    return cov, mean, n
+
+
+def pca_whiten(sf_dir: str, k: int = 16):
+    """(vec_id, proj: list<float64>) — PCA-whitening projection onto the
+    top-*k* principal components: ``proj = (x − μ) V diag(λ^-1/2)``.
+
+    The covariance comes from the distributed Gram partials
+    (:func:`_cov_and_mean` — O(d²) per batch reaching the driver); the
+    64×64 eigensolve runs once driver-side; (μ, W) broadcast once via the
+    closure and every batch projects vectorized.  The whitened output has
+    identity covariance over the training corpus (pinned by tests)."""
+    cov, mean, _ = _cov_and_mean(sf_dir)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    top = np.argsort(vals)[::-1][:k]
+    w = vecs[:, top] / np.sqrt(vals[top])  # d×k whitening map
+
+    def project(b: pa.Table) -> pa.Table:
+        ids, m = _to_matrix(b)
+        proj = (m - mean) @ w
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "proj": pa.array(
+                    [r.tolist() for r in proj], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow").sort("vec_id")
+
+
+def pca_explained_variance(sf_dir: str, k: int = 16):
+    """(component, var_ratio) — fraction of total variance captured by each
+    of the top-*k* principal components (``%.4f`` strings)."""
+    cov, _, _ = _cov_and_mean(sf_dir)
+    vals = np.linalg.eigvalsh(cov)[::-1]
+    total = vals.sum()
     return pa.table(
         {
-            "i": pa.array(iu, pa.int64()),
-            "j": pa.array(ju, pa.int64()),
-            "cov": pa.array(
-                [f"{cov[a, b]:.4f}" for a, b in zip(iu, ju)], pa.string()
+            "component": pa.array(range(k), pa.int64()),
+            "var_ratio": pa.array(
+                [f"{v / total:.4f}" for v in vals[:k]], pa.string()
             ),
         }
     )

@@ -243,3 +243,27 @@ class TestEmbeddingCovariance:
         for (i, j), v in got.items():
             assert i <= j
             assert v == f"{want[i, j]:.4f}"
+
+    def test_pca_whitening_identity_covariance(self):
+        from scrupyst_ray.pipelines.ann import pca_whiten
+
+        t = pca_whiten(SF, k=8).to_pandas()
+        p = np.asarray(t.proj.tolist())
+        assert p.shape == (500, 8)
+        # whitened output: zero mean, identity covariance over the corpus
+        assert np.allclose(p.mean(axis=0), 0, atol=1e-9)
+        assert np.allclose(np.cov(p, rowvar=False), np.eye(8), atol=1e-9)
+
+    def test_explained_variance_matches_numpy(self):
+        from scrupyst_ray.pipelines.ann import pca_explained_variance
+
+        t = pca_explained_variance(SF, k=4).to_pandas()
+        emb = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchdf()
+        m = np.asarray(emb.embedding.tolist(), dtype=np.float64)
+        vals = np.sort(np.linalg.eigvalsh(np.cov(m, rowvar=False)))[::-1]
+        want = [f"{v / vals.sum():.4f}" for v in vals[:4]]
+        assert t.var_ratio.tolist() == want
+        assert sorted(t.var_ratio.tolist(), reverse=True) == t.var_ratio.tolist()
