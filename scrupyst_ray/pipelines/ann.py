@@ -552,12 +552,16 @@ def _cov_and_mean(sf_dir: str) -> tuple[np.ndarray, np.ndarray, int]:
         )
 
     parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("covariance needs a non-empty embeddings table")
     d = int(np.sqrt(len(parts[0]["g"])))
     g, s, n = np.zeros((d, d)), np.zeros(d), 0
     for p in parts:
         g += np.asarray(p["g"]).reshape(d, d)
         s += np.asarray(p["s"])
         n += p["n"]
+    if n < 2:
+        raise ValueError("sample covariance needs at least 2 rows")
     mean = s / n
     cov = (g - np.outer(s, s) / n) / (n - 1)
     return cov, mean, n
@@ -571,11 +575,19 @@ def pca_whiten(sf_dir: str, k: int = 16):
     (:func:`_cov_and_mean` — O(d²) per batch reaching the driver); the
     64×64 eigensolve runs once driver-side; (μ, W) broadcast once via the
     closure and every batch projects vectorized.  The whitened output has
-    identity covariance over the training corpus (pinned by tests)."""
+    identity covariance over the training corpus (pinned by tests).
+
+    *k* is clamped to the covariance's effective rank — near-zero (or, from
+    float error, slightly negative) eigenvalues would otherwise whiten to
+    inf/NaN on rank-deficient corpora (n ≤ d, constant dims)."""
     cov, mean, _ = _cov_and_mean(sf_dir)
     vals, vecs = np.linalg.eigh(cov)  # ascending
-    top = np.argsort(vals)[::-1][:k]
-    w = vecs[:, top] / np.sqrt(vals[top])  # d×k whitening map
+    top = np.argsort(vals)[::-1][: min(k, cov.shape[0])]
+    keep = vals[top] > max(vals.max(), 0.0) * 1e-9
+    top = top[keep]
+    if top.size == 0:
+        raise ValueError("covariance has no positive eigenvalues to whiten")
+    w = vecs[:, top] / np.sqrt(vals[top])  # d×rank whitening map
 
     def project(b: pa.Table) -> pa.Table:
         ids, m = _to_matrix(b)
@@ -597,6 +609,7 @@ def pca_explained_variance(sf_dir: str, k: int = 16):
     of the top-*k* principal components (``%.4f`` strings)."""
     cov, _, _ = _cov_and_mean(sf_dir)
     vals = np.linalg.eigvalsh(cov)[::-1]
+    k = min(k, len(vals))
     total = vals.sum()
     return pa.table(
         {

@@ -423,11 +423,12 @@ def source_mixing_weights(sf_dir: str, alpha: float = 0.7):
     docs = _docs(sf_dir, ["source", "text"])
 
     def partials(b: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(b["text"], pattern=r"\S+")
         return pa.table(
             {
                 "source": b["source"],
-                "n_tokens": pc.cast(n, pa.int64()),
+                "n_tokens": pc.cast(
+                    whitespace_token_counts(b["text"]), pa.int64()
+                ),
             }
         )
 

@@ -16,10 +16,13 @@ trained FROM the corpus itself, distributed, in the same job:
    groupby: ``ppl = exp(-1/n · Σ ln P(w2|w1))`` with
    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)``.
 
-Tokens are ``\\S+`` runs (the repo-wide DuckDB-matchable tokenizer); a
+Tokens are ``\\S+`` runs via the RE2-exact shared tokenizer
+(:func:`~scrupyst_ray.functions.textstats.ws_tokens` — Python's unicode
+``\\S`` diverges from the DuckDB oracle's RE2 on \\xa0/\\x85/\\v); a
 bigram is the two tokens space-joined (unambiguous — tokens contain no
-whitespace).  Documents with fewer than two tokens have no bigrams and are
-absent from the output (inner-join semantics, mirrored by the SQL oracle).
+ASCII whitespace).  Documents with fewer than two tokens have no bigrams
+and are absent from the output (inner-join semantics, mirrored by the
+SQL oracle).
 
 Scale shape: the exploded bigram-row table is the corpus token stream
 (~1 row per token) — it is produced, joined, and reduced entirely inside
@@ -29,32 +32,23 @@ and the final per-doc/per-source results.
 
 from __future__ import annotations
 
-import os
-import re
 from collections import Counter
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from scrupyst_ray.functions.textstats import ws_tokens
 from scrupyst_ray.pipelines.joins import attach_by_key, rename
-
-_TOKEN_RE = re.compile(r"\S+")
-
-
-def _docs(sf_dir: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
-    )
+from scrupyst_ray.pipelines.textstats import _docs
 
 
 def _bigram_rows(b: pa.Table) -> pa.Table:
     """(doc_id, bg, w1, n) — per-document bigram counts (batch combiner)."""
     ids, bgs, w1s, ns = [], [], [], []
     for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-        toks = _TOKEN_RE.findall(t or "")
+        toks = ws_tokens(t)
         c = Counter(zip(toks, toks[1:]))
         for (a, bb), n in c.items():
             ids.append(d)
@@ -74,7 +68,7 @@ def _bigram_rows(b: pa.Table) -> pa.Table:
 def _unigram_rows(b: pa.Table) -> pa.Table:
     c: Counter = Counter()
     for t in b["text"].to_pylist():
-        c.update(_TOKEN_RE.findall(t or ""))
+        c.update(ws_tokens(t))
     return pa.table(
         {
             "w": pa.array(list(c.keys()), pa.string()),

@@ -91,3 +91,43 @@ def test_repeated_bigram_low_ppl(ray_session, lm_dir):
     rows = bigram_lm_ppl(lm_dir).take_all()
     best = min(rows, key=lambda r: float(r["ppl"]))
     assert best["doc_id"] == 6
+
+
+def test_unicode_whitespace_matches_duckdb_oracle(ray_session, tmp_path):
+    """\xa0 (non-breaking space) is token-INTERNAL for RE2's \\S (the DuckDB
+    oracle) but token-splitting for Python's unicode \\S — the shared
+    ws_tokens class must keep both sides byte-identical."""
+    import duckdb
+
+    texts = [
+        "a\xa0b c d a\xa0b c",  # nbsp inside a token
+        "x\x85y z x\x85y w",  # NEL inside a token
+        "p q p q p",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * len(texts)),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    from scrupyst_ray.pipelines.lm import bigram_lm_ppl
+
+    got = bigram_lm_ppl(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_lm_test", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    want = con.execute(mod.oracle_sql()["bigram_lm_ppl"]).fetchdf()
+    assert got.values.tolist() == want.values.tolist()

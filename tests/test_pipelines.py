@@ -267,3 +267,29 @@ class TestEmbeddingCovariance:
         want = [f"{v / vals.sum():.4f}" for v in vals[:4]]
         assert t.var_ratio.tolist() == want
         assert sorted(t.var_ratio.tolist(), reverse=True) == t.var_ratio.tolist()
+
+    def test_pca_whiten_clamps_to_effective_rank(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # 5 rows of dim 64 → covariance rank ≤ 4; k=16 must clamp, not NaN
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(5, 64)).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(5), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            os.path.join(str(tmp_path), "embeddings.parquet"),
+        )
+        from scrupyst_ray.pipelines.ann import pca_whiten
+
+        p = np.asarray(pca_whiten(str(tmp_path), k=16).to_pandas().proj.tolist())
+        assert p.shape[1] <= 4
+        assert np.isfinite(p).all()
