@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minutely": relational.events_minutely,
         "events_sliding_window": relational.events_sliding_window,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "revenue_by_nation": relational.revenue_by_nation,
         "user_event_sessions": relational.user_event_sessions,
         # -- text analysis (SQL-matched where expressible) --
@@ -500,6 +502,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0, TRUE), (7, TRUE), (23, TRUE), (41, TRUE))
                  AS t(query_id, recall_ok)
             ORDER BY query_id
+        """,
+        # Q6 shape: pure filter + one-row aggregate (predicate pushed into
+        # the parquet read on the Ray side)
+        "q6_forecast_revenue": """
+            SELECT printf('%.2f', SUM(l_extendedprice * l_discount))
+                       AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        # Q14 shape: PROMO share of 1996 discounted revenue (part side
+        # broadcast on the Ray side)
+        "q14_promo_revenue": """
+            SELECT printf('%.4f',
+                       100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)))
+                       AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, o_orderdate,

@@ -521,3 +521,77 @@ def clicks_before_purchase(sf_dir: str, window_s: int = 300):
         .map_groups(count_group, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure filter + global aggregate.  The predicate is
+    pushed INTO the parquet read (pyarrow dataset filter → row-group/page
+    pruning), so only qualifying rows ever enter the object store — with
+    the column prune, the scan ships 4 of 11 lineitem columns and skips
+    row groups whose shipdate stats miss the year window."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pds
+
+    flt = (
+        (pds.field("l_shipdate") >= datetime(1996, 1, 1))
+        & (pds.field("l_shipdate") < datetime(1997, 1, 1))
+        & (pds.field("l_discount") >= 0.05)
+        & (pds.field("l_discount") <= 0.07)
+        & (pds.field("l_quantity") < 24)
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt,
+    )
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.sum(pc.multiply(b["l_extendedprice"], b["l_discount"]))
+        return pa.table({"rev": pa.array([r.as_py() or 0.0], pa.float64())})
+
+    total = sum(
+        r["rev"] for r in ds.map_batches(rev, batch_format="pyarrow").take_all()
+    )
+    return pa.table({"revenue": pa.array([f"{total:.2f}"], pa.string())})
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: month-windowed lineitem ⨝ part (small side
+    broadcast once via ``ray.put``), conditional aggregate → one row:
+    the PROMO share of discounted revenue for 1996, ``%.4f``."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pds
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    type_ref = broadcast_lookup(part, "p_partkey", "p_type")
+    flt = (pds.field("l_shipdate") >= datetime(1996, 1, 1)) & (
+        pds.field("l_shipdate") < datetime(1997, 1, 1)
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=flt,
+    )
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = attach_from_lookup(b, "l_partkey", "p_type", type_ref)
+        disc = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        promo = pc.if_else(
+            pc.equal(b["p_type"], pa.scalar("PROMO")), disc, pa.scalar(0.0)
+        )
+        return pa.table(
+            {
+                "promo": pa.array([pc.sum(promo).as_py() or 0.0], pa.float64()),
+                "total": pa.array([pc.sum(disc).as_py() or 0.0], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    promo = sum(r["promo"] for r in parts)
+    total = sum(r["total"] for r in parts)
+    share = 100.0 * promo / total if total else 0.0
+    return pa.table({"promo_revenue": pa.array([f"{share:.4f}"], pa.string())})

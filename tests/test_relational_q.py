@@ -1,0 +1,51 @@
+"""Q6/Q14-shaped relational pipelines vs DuckDB on the sf0.001 tables
+(the driver's oracle harness runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScanAggQueries:
+    def test_q6_pushdown_filter_agg(self):
+        from scrupyst_ray.pipelines.relational import q6_forecast_revenue
+
+        got = q6_forecast_revenue(SF)["revenue"][0].as_py()
+        want = _con().execute(
+            """SELECT printf('%.2f', SUM(l_extendedprice * l_discount))
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01'
+                 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+        ).fetchone()[0]
+        assert got == want
+
+    def test_q14_promo_share(self):
+        from scrupyst_ray.pipelines.relational import q14_promo_revenue
+
+        got = q14_promo_revenue(SF)["promo_revenue"][0].as_py()
+        want = _con().execute(
+            """SELECT printf('%.4f',
+                   100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0.0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)))
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-01-01'"""
+        ).fetchone()[0]
+        assert got == want
+        assert 0.0 < float(got) < 100.0
