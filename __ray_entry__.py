@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "customers_without_big_orders": relational.customers_without_big_orders,
         "revenue_by_nation": relational.revenue_by_nation,
         "user_event_sessions": relational.user_event_sessions,
         # -- text analysis (SQL-matched where expressible) --
@@ -513,6 +514,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # distributed LEFT ANTI join: customers with no order over 300k
+        "customers_without_big_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000
+            )
+            ORDER BY c_custkey
         """,
         # Q14 shape: PROMO share of 1996 discounted revenue (part side
         # broadcast on the Ray side)

@@ -595,3 +595,31 @@ def q14_promo_revenue(sf_dir: str):
     total = sum(r["total"] for r in parts)
     share = 100.0 * promo / total if total else 0.0
     return pa.table({"promo_revenue": pa.array([f"{share:.4f}"], pa.string())})
+
+
+def customers_without_big_orders(sf_dir: str, threshold: float = 300_000.0):
+    """(c_custkey, c_name, c_mktsegment) — customers with NO order above
+    *threshold*: the distributed LEFT ANTI join surfaced as a query.
+
+    The orders side is filtered AT THE READ (predicate pushdown — only
+    qualifying custkeys leave storage) and pre-deduplicated per batch
+    before the anti-join, so the drop-set the join sees is bounded by the
+    distinct big-spender count, not the order count.  The join itself is
+    size-selected (:func:`~scrupyst_ray.pipelines.joins.anti_join_by_key`):
+    a small drop-set broadcasts once via ``ray.put``; a large one takes
+    the shuffling left-anti hash join."""
+    import pyarrow.dataset as pds
+
+    from scrupyst_ray.pipelines.joins import anti_join_by_key
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    big = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pds.field("o_totalprice") > threshold,
+    ).map_batches(
+        # batch-local dedup (combiner): one row per distinct custkey per batch
+        lambda b: pa.table({"o_custkey": pc.unique(b["o_custkey"])}),
+        batch_format="pyarrow",
+    )
+    return anti_join_by_key(cust, big, "c_custkey").sort("c_custkey")

@@ -49,3 +49,37 @@ class TestScanAggQueries:
         ).fetchone()[0]
         assert got == want
         assert 0.0 < float(got) < 100.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoinQuery:
+    WANT_SQL = """
+        SELECT c_custkey FROM read_parquet('{sf}/customer.parquet') c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey"""
+
+    def _want(self):
+        return [
+            r[0] for r in duckdb.sql(self.WANT_SQL.format(sf=SF)).fetchall()
+        ]
+
+    def test_matches_not_exists(self):
+        from scrupyst_ray.pipelines.relational import (
+            customers_without_big_orders,
+        )
+
+        got = [r["c_custkey"] for r in customers_without_big_orders(SF).take_all()]
+        want = self._want()
+        assert got == want and len(want) > 0
+
+    def test_forced_distributed_path_matches_broadcast(self, monkeypatch):
+        from scrupyst_ray.pipelines import joins
+        from scrupyst_ray.pipelines.relational import (
+            customers_without_big_orders,
+        )
+
+        monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 0)
+        got = [r["c_custkey"] for r in customers_without_big_orders(SF).take_all()]
+        assert got == self._want()
