@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm_ppl": lm.bigram_lm_ppl,
         "lm_ppl_by_source": lm.lm_ppl_by_source,
+        "doc_length_quantiles": textstats.doc_length_quantiles,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,
@@ -657,6 +658,18 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(p2.dup_occ*1.0/p2.total, 0) <= 0.15
               AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
             ORDER BY d.doc_id
+        """,
+        # exact per-source token-length quantiles (quantile_disc ≡ numpy
+        # inverted_cdf on the Ray side)
+        "doc_length_quantiles": """
+            WITH t AS (SELECT source,
+                              len(regexp_extract_all(text, '\\S+')) AS n
+                       FROM documents)
+            SELECT source,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM t GROUP BY source ORDER BY source
         """,
         # add-one bigram-LM perplexity per doc, LM trained on the corpus
         # itself: P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); ppl = exp(-avg ln P)

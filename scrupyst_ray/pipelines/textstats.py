@@ -398,3 +398,40 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         .map_groups(topk, batch_format="pyarrow")
         .sort(["doc_id", "token"])
     )
+
+
+def doc_length_quantiles(sf_dir: str):
+    """(source, p50, p90, p99) — discrete token-length quantiles per source
+    (the length-filter calibration signal in curation pipelines).
+
+    Token counts come from the pure-Arrow regex kernel; the per-source
+    quantile is EXACT via a source-keyed ``map_groups`` (numpy
+    ``inverted_cdf`` — bit-identical to DuckDB's ``quantile_disc``).  The
+    shuffle is one row per DOCUMENT (two int64-ish columns), not per token;
+    exactness requires each source group to fit a worker — for a source
+    with billions of docs swap the map_groups for a mergeable quantile
+    sketch (t-digest/KLL) at the cost of the SQL-exact oracle."""
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], pattern=r"\S+")
+        return pa.table({"source": b["source"], "n_tokens": pc.cast(n, pa.int64())})
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = g["n_tokens"].to_numpy(zero_copy_only=False)
+        p = np.quantile(v, [0.5, 0.9, 0.99], method="inverted_cdf")
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "p50": pa.array([int(p[0])], pa.int64()),
+                "p90": pa.array([int(p[1])], pa.int64()),
+                "p99": pa.array([int(p[2])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(quantiles, batch_format="pyarrow")
+        .sort("source")
+    )

@@ -90,3 +90,39 @@ class TestFingerprint:
     def test_short_text(self):
         assert doc_fingerprint("one two") == doc_fingerprint("one two")
         assert isinstance(doc_fingerprint(""), int)
+
+
+class TestDocLengthQuantiles:
+    def test_matches_quantile_disc(self, ray_session, tmp_path):
+        import os
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from scrupyst_ray.pipelines.textstats import doc_length_quantiles
+
+        # skewed group sizes incl. a 1-doc source (quantiles = that value)
+        rows = [("a", "x " * n) for n in range(1, 12)] + [("b", "y y y")]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1].strip() for r in rows]),
+                }
+            ),
+            os.path.join(str(tmp_path), "documents.parquet"),
+        )
+        got = doc_length_quantiles(str(tmp_path)).to_pandas()
+        want = duckdb.sql(
+            f"""WITH t AS (SELECT source,
+                       len(regexp_extract_all(text, '\\S+')) AS n
+                FROM read_parquet('{tmp_path}/documents.parquet'))
+            SELECT source, CAST(quantile_disc(n, 0.5) AS BIGINT) p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) p99
+            FROM t GROUP BY source ORDER BY source"""
+        ).fetchdf()
+        assert got.values.tolist() == want.values.tolist()
+        assert got[got.source == "b"].p50.item() == 3
