@@ -174,6 +174,12 @@ def run_query_bench(sf_dir: str) -> dict:
         "asof_prior_event",
         "decontaminate",
         "tfidf_top_terms",
+        "q6_forecast_revenue",
+        "customers_without_big_orders",
+        "source_mixing_weights",
+        "doc_length_quantiles",
+        "embedding_covariance",
+        "bigram_lm_ppl",
         # neardup_cluster_sizes is excluded: its exact-Jaccard pair graph at
         # sf0.1 (232k pairs) makes it a ~1 min query — correctness-gated at
         # sf0.01 instead

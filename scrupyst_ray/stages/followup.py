@@ -8,6 +8,11 @@ become flat-map stages over a fetched table with synthetic ``status`` /
   3xx + Location ⇒ new frontier row at the target with ``priority + 2``
   (REDIRECT_PRIORITY_ADJUST, ``default_settings.py:447``),
   ``redirect_times + 1`` capped at 20, fragment-preserving urljoin.
+  Reference edge semantics (``redirect.py:166-176``): the Location is
+  ``safe_url_string``-ed BEFORE the join; a raw ``//``-prefixed Location
+  is scheme-relative (``request_scheme + "://" + location.lstrip("/")`` —
+  NOT plain urljoin, which would treat ``///host/p`` as an empty-netloc
+  path); and a joined target outside http/https does not redirect at all.
 - retry (reference ``scrapy/downloadermiddlewares/retry.py:38-179``):
   status ∈ RETRY_HTTP_CODES ⇒ re-emit the SAME url with
   ``retry_times + 1`` (≤ RETRY_TIMES=2), ``dont_filter=True``,
@@ -25,7 +30,7 @@ driver unions into the next round.
 
 from __future__ import annotations
 
-from urllib.parse import urljoin
+from urllib.parse import urljoin, urlsplit
 
 import numpy as np
 import pyarrow as pa
@@ -119,7 +124,13 @@ def followups_batch(batch: pa.Table, cfg: CrawlConfig | None = None) -> pa.Table
         if s in REDIRECT_STATUSES and redirect_to[i]:
             if redirect_times[i] >= REDIRECT_MAX_TIMES:
                 continue  # IgnoreRequest: max redirections reached
-            target = urljoin(urls[i], redirect_to[i])
+            loc = safe_url_string(redirect_to[i])
+            if redirect_to[i].startswith("//"):
+                # scheme-relative Location (redirect.py:169-171)
+                loc = urls[i].split(":", 1)[0] + "://" + loc.lstrip("/")
+            target = urljoin(urls[i], loc)
+            if urlsplit(target).scheme not in ("http", "https"):
+                continue  # non-http(s) target: no redirect (redirect.py:175)
             rows.append(
                 _mk_row(
                     target,

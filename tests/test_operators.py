@@ -241,3 +241,60 @@ class TestFollowups:
     def test_no_followups(self):
         out = followups_batch(self._batch(status=[200, 200, 200]), self.CFG)
         assert out.num_rows == 0
+
+
+class TestRedirectSchemeMatrix:
+    """Reference scheme semantics, ported from
+    tests/test_downloadermiddleware_redirect.py (REDIRECT_SCHEME_CASES,
+    test_redirect_302_relative, test_utf8_location)."""
+
+    CFG = CrawlConfig(seen_shards=4, fetch_buckets=4)
+
+    def _one(self, url: str, location: str):
+        t = pa.table(
+            {
+                "url": [url],
+                "status": [301],
+                "depth": [0],
+                "priority": [0],
+                "order_key": [b"\x00"],
+                "redirect_to": [location],
+            }
+        )
+        out = followups_batch(t, self.CFG)
+        return out["url"].to_pylist()[0] if out.num_rows else None
+
+    def test_scheme_matrix(self):
+        # http/https → http/https follows; → data/file/ftp/s3/foo does not
+        for in_s in ("http", "https"):
+            for out_s in ("http", "https"):
+                got = self._one(f"{in_s}://example.com/a", f"{out_s}://example.com/b")
+                assert got == f"{out_s}://example.com/b"
+            for out_s in ("data", "file", "ftp", "s3", "foo"):
+                got = self._one(f"{in_s}://example.com/a", f"{out_s}://example.com/b")
+                assert got is None, (in_s, out_s, got)
+
+    def test_relative_locations(self):
+        for scheme in ("http", "https"):
+            assert (
+                self._one(f"{scheme}://example.com/a", "//example.com/b")
+                == f"{scheme}://example.com/b"
+            )
+            assert (
+                self._one(f"{scheme}://example.com/a", "/b")
+                == f"{scheme}://example.com/b"
+            )
+
+    def test_triple_slash_is_scheme_relative(self):
+        # reference test_redirect_302_relative: ///host/p keeps the host
+        assert (
+            self._one("http://www.example.com/302", "///i8n.example2.com/302")
+            == "http://i8n.example2.com/302"
+        )
+
+    def test_utf8_location_percent_encoded(self):
+        # reference test_utf8_location (str-typed column ≡ utf-8 header)
+        assert (
+            self._one("http://scrapytest.org/first", "/ação")
+            == "http://scrapytest.org/a%C3%A7%C3%A3o"
+        )
