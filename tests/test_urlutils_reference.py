@@ -137,3 +137,39 @@ class TestStripUrlReference:
     )
     def test_default_ports_stripped_only_for_scheme(self, url, expected):
         assert strip_url(url) == expected
+
+
+class TestOffsiteDomainMatrix:
+    """Reference tests/test_downloadermiddleware_offsite.py
+    ``test_process_request_domain_filtering`` cases, applied to the
+    hostname-only matcher the offsite filter (M4) uses."""
+
+    CASES = [
+        ("example.com", "http://example.com/1", True),
+        ("example.com", "http://example.org/1", False),
+        ("example.com", "http://sub.example.com/1", True),
+        ("sub.example.com", "http://sub.example.com/1", True),
+        ("sub.example.com", "http://example.com/1", False),
+        ("example.com", "http://example.com:8000/1", True),  # port-insensitive
+        ("example.com", "http://example.org/example.com", False),
+        ("example.com", "http://example.org/foo.example.com", False),
+        ("example.com", "http://example.com.example", False),
+        ("a.example", "http://nota.example", False),
+        ("b.a.example", "http://notb.a.example", False),
+    ]
+
+    def test_matrix(self):
+        for domain, url, allowed in self.CASES:
+            assert host_is_from_any_domain(url, [domain]) is allowed, (
+                domain,
+                url,
+            )
+
+    def test_invalid_domain_entries_never_match(self):
+        # reference test_process_request_invalid_domains: URL-shaped or
+        # protocol-relative entries are ignored (warn+skip there; no-match
+        # here — same filtering outcome)
+        bad = ["http:////b.example", "//c.example"]
+        assert not host_is_from_any_domain("http://b.example/1", bad)
+        assert not host_is_from_any_domain("http://c.example/1", bad)
+        assert host_is_from_any_domain("http://a.example/1", ["a.example", *bad])
