@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_without_big_orders": relational.customers_without_big_orders,
+        "customer_big_order_counts": relational.customer_big_order_counts,
         "revenue_by_nation": relational.revenue_by_nation,
         "user_event_sessions": relational.user_event_sessions,
         # -- text analysis (SQL-matched where expressible) --
@@ -515,6 +516,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # distributed LEFT OUTER join: per-customer count of orders over
+        # 400k, zero-count customers included
+        "customer_big_order_counts": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(o.n, 0) AS n_big_orders
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n FROM orders
+                WHERE o_totalprice > 400000 GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey
         """,
         # distributed LEFT ANTI join: customers with no order over 300k
         "customers_without_big_orders": """

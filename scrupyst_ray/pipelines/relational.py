@@ -623,3 +623,45 @@ def customers_without_big_orders(sf_dir: str, threshold: float = 300_000.0):
         batch_format="pyarrow",
     )
     return anti_join_by_key(cust, big, "c_custkey").sort("c_custkey")
+
+
+def customer_big_order_counts(sf_dir: str, threshold: float = 400_000.0):
+    """(c_custkey, c_mktsegment, n_big_orders) — every customer with their
+    count of orders above *threshold*, INCLUDING zero-count customers: the
+    distributed LEFT OUTER join surfaced as a query.
+
+    The orders side pre-aggregates to one (custkey, count) row per customer
+    BEFORE the join (the combiner rule — the join never sees order rows),
+    and the order scan pushes the price predicate into the parquet read."""
+    import pyarrow.dataset as pds
+
+    from ray.data.aggregate import Count as _Count
+
+    from scrupyst_ray.pipelines.joins import rename as _rename
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    counts = _rename(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pds.field("o_totalprice") > threshold,
+        )
+        .groupby("o_custkey")
+        .aggregate(_Count()),
+        ["o_custkey", "n"],
+    )
+    joined = dist_join(
+        cust, counts, "left_outer", ("c_custkey",), ("o_custkey",)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.coalesce(pc.cast(b["n"], pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_big_orders": n,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")

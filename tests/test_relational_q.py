@@ -83,3 +83,27 @@ class TestAntiJoinQuery:
         monkeypatch.setattr(joins, "BROADCAST_MAX_ROWS", 0)
         got = [r["c_custkey"] for r in customers_without_big_orders(SF).take_all()]
         assert got == self._want()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeftOuterJoinQuery:
+    def test_zero_count_customers_present(self):
+        from scrupyst_ray.pipelines.relational import customer_big_order_counts
+
+        got = customer_big_order_counts(SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        want = con.execute(
+            """SELECT c.c_custkey, c.c_mktsegment, COALESCE(o.n, 0) AS n
+               FROM customer c
+               LEFT JOIN (SELECT o_custkey, COUNT(*) n FROM orders
+                          WHERE o_totalprice > 400000 GROUP BY 1) o
+               ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey"""
+        ).fetchdf()
+        assert got.c_custkey.tolist() == want.c_custkey.tolist()
+        assert got.n_big_orders.tolist() == want.n.tolist()
+        # the outer side must actually be exercised: some zeros, some not
+        assert (got.n_big_orders == 0).any() and (got.n_big_orders > 0).any()
