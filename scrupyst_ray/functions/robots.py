@@ -15,19 +15,33 @@ from the public RFC 9309 spec + Protego's documented behavior:
 - patterns support ``*`` (any chars) and a trailing ``$`` anchor,
 - empty ``Disallow:`` value ⇒ allow-all rule (ignored),
 - a missing / unfetchable robots.txt ⇒ allow everything (reference
-  ``robotstxt.py:128-136``).
+  ``robotstxt.py:128-136``),
+- patterns AND target paths are percent-normalized before comparison
+  (Protego behavior, reference ``tests/test_robotstxt_interface.py``
+  ``test_unicode_url_and_useragent``: a raw-unicode ``Disallow`` value
+  must match the percent-encoded URL path and vice versa).
 """
 
 from __future__ import annotations
 
 import re
-from urllib.parse import urlsplit
+from urllib.parse import quote, urlsplit
+
+# percent-encode non-ASCII (utf-8 bytes) while leaving existing %XX escapes,
+# wildcards (*, $) and URL-legal punctuation untouched — applied identically
+# to rule patterns and target paths so either spelling matches the other
+_QUOTE_SAFE = "/%*$?=&:,;@+!()'~._-"
+
+
+def _pct_normalize(s: str) -> str:
+    return quote(s, safe=_QUOTE_SAFE)
 
 
 class _Rule:
     __slots__ = ("allow", "pattern", "length", "regex")
 
     def __init__(self, allow: bool, pattern: str):
+        pattern = _pct_normalize(pattern)
         self.allow = allow
         self.pattern = pattern
         self.length = len(pattern)
@@ -121,7 +135,7 @@ class RobotsRules:
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
-        return path
+        return _pct_normalize(path)
 
     def allowed(self, url: str, user_agent: str) -> bool:
         """RFC 9309 decision: most-specific (longest) matching rule wins;

@@ -85,3 +85,70 @@ def test_multiple_ua_lines_one_group():
     # UA-token matching is substring-based (Protego semantics), so pick a UA
     # containing neither token
     assert r.allowed("http://h.test/x", "zzz/1.0")
+
+
+class TestReferenceInterfaceCases:
+    """Ported from reference tests/test_robotstxt_interface.py (the Protego
+    parser cases scrapy runs by default)."""
+
+    def test_allowed_basic(self):
+        rp = parse_robots(
+            b"User-agent: * \nDisallow: /disallowed \nAllow: /allowed \nCrawl-delay: 10"
+        )
+        assert rp.allowed("https://www.site.local/allowed", "*")
+        assert not rp.allowed("https://www.site.local/disallowed", "*")
+
+    def test_allowed_wildcards_two_groups(self):
+        rp = parse_robots(
+            b"""User-agent: first
+                Disallow: /disallowed/*/end$
+
+                User-agent: second
+                Allow: /*allowed
+                Disallow: /
+            """
+        )
+        assert rp.allowed("https://www.site.local/disallowed", "first")
+        assert not rp.allowed("https://www.site.local/disallowed/xyz/end", "first")
+        assert not rp.allowed("https://www.site.local/disallowed/abc/end", "first")
+        assert rp.allowed(
+            "https://www.site.local/disallowed/xyz/endinglater", "first"
+        )
+        assert rp.allowed("https://www.site.local/allowed", "second")
+        assert rp.allowed("https://www.site.local/is_still_allowed", "second")
+        assert rp.allowed("https://www.site.local/is_allowed_too", "second")
+
+    def test_length_based_precedence(self):
+        rp = parse_robots(b"User-agent: * \nDisallow: / \nAllow: /page")
+        assert rp.allowed("https://www.site.local/page", "*")
+
+    def test_garbage_body_allows_all(self):
+        rp = parse_robots(b"GIF89a\xd3\x00\xfe\x00\xa2")
+        assert rp.allowed("https://site.local/", "*")
+        assert rp.allowed("https://site.local/disallowed", "chrome")
+
+    def test_unicode_url_and_useragent(self):
+        rp = parse_robots(
+            """
+            User-Agent: *
+            Disallow: /admin/
+            Disallow: /static/
+            Disallow: /wiki/K%C3%A4ytt%C3%A4j%C3%A4:
+            Disallow: /wiki/Käyttäjä:
+
+            User-Agent: UnicödeBöt
+            Disallow: /some/randome/page.html""".encode()
+        )
+        assert rp.allowed("https://site.local/", "*")
+        assert not rp.allowed("https://site.local/admin/", "*")
+        assert not rp.allowed("https://site.local/static/", "*")
+        assert rp.allowed("https://site.local/admin/", "UnicödeBöt")
+        # raw-unicode pattern ↔ percent-encoded path and vice versa
+        assert not rp.allowed(
+            "https://site.local/wiki/K%C3%A4ytt%C3%A4j%C3%A4:", "*"
+        )
+        assert not rp.allowed("https://site.local/wiki/Käyttäjä:", "*")
+        assert rp.allowed("https://site.local/some/randome/page.html", "*")
+        assert not rp.allowed(
+            "https://site.local/some/randome/page.html", "UnicödeBöt"
+        )
