@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_ppl": lm.bigram_lm_ppl,
         "lm_ppl_by_source": lm.lm_ppl_by_source,
         "doc_length_quantiles": textstats.doc_length_quantiles,
+        "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,

@@ -409,8 +409,9 @@ def doc_length_quantiles(sf_dir: str):
     ``inverted_cdf`` — bit-identical to DuckDB's ``quantile_disc``).  The
     shuffle is one row per DOCUMENT (two int64-ish columns), not per token;
     exactness requires each source group to fit a worker — for a source
-    with billions of docs swap the map_groups for a mergeable quantile
-    sketch (t-digest/KLL) at the cost of the SQL-exact oracle."""
+    with billions of docs use :func:`doc_length_quantiles_sketch` (additive
+    log-bucket histogram, fixed state per source) at the cost of ≤3.2%
+    underestimate vs the SQL-exact oracle."""
     ds = _docs(sf_dir, ["source", "text"])
 
     def count(b: pa.Table) -> pa.Table:
@@ -434,4 +435,60 @@ def doc_length_quantiles(sf_dir: str):
         .groupby("source")
         .map_groups(quantiles, batch_format="pyarrow")
         .sort("source")
+    )
+
+
+def doc_length_quantiles_sketch(sf_dir: str):
+    """(source, p50, p90, p99) — the SKETCH variant of
+    :func:`doc_length_quantiles` for groups too large to sort on one worker:
+    per-batch partial histograms (HDR-style log buckets,
+    ``functions/sketches.py``) combine by an additive
+    ``groupby(source, bucket).sum`` — state per source is ≤ a few hundred
+    bucket rows regardless of document count, merge order irrelevant.
+    Estimates are bucket lower bounds: ≤3.2% below the exact
+    ``quantile_disc`` value (pinned by tests), deterministic."""
+    from collections import Counter
+
+    from scrupyst_ray.functions.sketches import bucket_of, quantiles_from_hist
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def hist_partials(b: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(b["text"], pattern=r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        srcs = b["source"].to_pylist()
+        keep = n >= 1  # zero-token docs carry no length signal
+        c = Counter(zip(np.asarray(srcs)[keep], bucket_of(n[keep])))
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in c], pa.string()),
+                "bucket": pa.array([int(k[1]) for k in c], pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby(["source", "bucket"])
+        .sum("n")
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        est = quantiles_from_hist(
+            g["bucket"].to_numpy(zero_copy_only=False),
+            g["sum(n)"].to_numpy(zero_copy_only=False),
+            [0.5, 0.9, 0.99],
+        )
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "p50": pa.array([est[0]], pa.int64()),
+                "p90": pa.array([est[1]], pa.int64()),
+                "p99": pa.array([est[2]], pa.int64()),
+            }
+        )
+
+    return hist.groupby("source").map_groups(finish, batch_format="pyarrow").sort(
+        "source"
     )

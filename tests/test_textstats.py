@@ -126,3 +126,72 @@ class TestDocLengthQuantiles:
         ).fetchdf()
         assert got.values.tolist() == want.values.tolist()
         assert got[got.source == "b"].p50.item() == 3
+
+
+class TestQuantileSketch:
+    def test_bucket_roundtrip_error_bound(self):
+        import numpy as np
+
+        from scrupyst_ray.functions.sketches import (
+            bucket_lower_bound,
+            bucket_of,
+        )
+
+        v = np.unique(
+            np.concatenate(
+                [
+                    np.arange(1, 2000),
+                    np.random.default_rng(3).integers(1, 10**9, 5000),
+                ]
+            )
+        )
+        lb = bucket_lower_bound(bucket_of(v))
+        assert (lb <= v).all()  # lower bound never overestimates
+        assert (v / lb <= 1.0 + 2.0 ** -5 + 1e-9).all()  # ≤1 bucket width
+
+    def test_merge_order_invariance(self):
+        import numpy as np
+
+        from scrupyst_ray.functions.sketches import (
+            bucket_of,
+            quantiles_from_hist,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(1, 100_000, 20_000)
+        # one-pass histogram
+        b1, c1 = np.unique(bucket_of(vals), return_counts=True)
+        one = quantiles_from_hist(b1, c1, [0.5, 0.9, 0.99])
+        # partitioned + summed in a different order
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for part in np.array_split(rng.permutation(vals), 7)[::-1]:
+            b, c = np.unique(bucket_of(part), return_counts=True)
+            acc.update(dict(zip(b, c)))
+        merged = quantiles_from_hist(
+            np.array(list(acc.keys())), np.array(list(acc.values())), [0.5, 0.9, 0.99]
+        )
+        assert one == merged
+        # and close to the exact quantile_disc answer
+        exact = [
+            int(np.quantile(vals, q, method="inverted_cdf"))
+            for q in (0.5, 0.9, 0.99)
+        ]
+        for e, s in zip(exact, one):
+            assert s <= e and e / s <= 1.04
+
+    def test_pipeline_close_to_exact(self, ray_session):
+        from scrupyst_ray.pipelines.textstats import (
+            doc_length_quantiles,
+            doc_length_quantiles_sketch,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["source"]: r for r in doc_length_quantiles(sf).take_all()}
+        sk = {r["source"]: r for r in doc_length_quantiles_sketch(sf).take_all()}
+        assert set(exact) == set(sk)
+        for s in exact:
+            for p in ("p50", "p90", "p99"):
+                assert sk[s][p] <= exact[s][p]
+                assert exact[s][p] / max(sk[s][p], 1) <= 1.04
