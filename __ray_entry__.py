@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_ppl_by_source": lm.lm_ppl_by_source,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,
+        "vocab_by_lang": textstats.vocab_by_lang,
+        "vocab_by_lang_hll": textstats.vocab_by_lang_hll,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         "text_normalize": textprep.text_normalize,
@@ -672,6 +674,15 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(p2.dup_occ*1.0/p2.total, 0) <= 0.15
               AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
             ORDER BY d.doc_id
+        """,
+        # exact distinct-token count per language (batch set-dedup combiner
+        # + vocab-bounded groupby on the Ray side)
+        "vocab_by_lang": """
+            WITH t AS (SELECT lang,
+                              UNNEST(regexp_extract_all(text, '\\S+')) AS tok
+                       FROM documents)
+            SELECT lang, COUNT(DISTINCT tok) AS vocab
+            FROM t GROUP BY lang ORDER BY lang
         """,
         # exact per-source token-length quantiles (quantile_disc ≡ numpy
         # inverted_cdf on the Ray side)

@@ -66,3 +66,48 @@ def quantiles_from_hist(
         i = int(np.searchsorted(cum, rank))
         out.append(int(bucket_lower_bound(np.array([b[i]]))[0]))
     return out
+
+
+# -- HyperLogLog distinct-count sketch ----------------------------------------
+#
+# Same additive-state philosophy as the histogram above, for COUNT(DISTINCT):
+# per-batch partial registers combine by elementwise MAX (commutative,
+# idempotent — merge order and duplicate partials are both irrelevant), so
+# the sketch composes with groupby().max() at any group size.  Standard
+# HLL with the small-range linear-counting correction; p=12 → 4096 registers
+# ≈ 1.6% standard error and 4 KB of state per group.
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # bias constant for m ≥ 128
+
+
+def hll_partial(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse HLL registers for a batch of uint64 hashes:
+    (register_idx, rho) with rho = 1 + leading-zeros of the remaining bits
+    (only the max rho per register is returned — the mergeable partial)."""
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # leading zeros of rest via float64 log2 is unsafe; use bit_length trick
+    # on the complemented shift: rho = 64 - p - bit_length(rest >> p ... )
+    # numpy has no clz — frexp gives the exponent (exact, rest ≥ 2^p > 2^53
+    # concern avoided by masking to the top 53 bits first)
+    top = (rest >> np.uint64(11)).astype(np.float64)  # 53 significant bits
+    exp = np.frexp(top)[1].astype(np.int64)  # bit_length of (rest >> 11)
+    rho = (64 - 11) - exp + 1
+    order = np.lexsort((-rho, idx))
+    idx_s, rho_s = idx[order], rho[order]
+    first = np.concatenate(([True], idx_s[1:] != idx_s[:-1]))
+    return idx_s[first], rho_s[first]
+
+
+def hll_estimate(idx: np.ndarray, rho: np.ndarray) -> int:
+    """Cardinality estimate from merged sparse registers (absent = 0)."""
+    reg = np.zeros(HLL_M, dtype=np.int64)
+    reg[np.asarray(idx, dtype=np.int64)] = np.asarray(rho, dtype=np.int64)
+    est = _ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)  # linear counting
+    return int(round(est))

@@ -492,3 +492,98 @@ def doc_length_quantiles_sketch(sf_dir: str):
     return hist.groupby("source").map_groups(finish, batch_format="pyarrow").sort(
         "source"
     )
+
+
+def vocab_by_lang(sf_dir: str):
+    """(lang, vocab) — EXACT distinct-token count per language.
+
+    Combiner discipline: each batch emits one row per distinct
+    (lang, token) it contains (a set, not the token stream), the keyed
+    groupby dedups across batches, and a second tiny groupby counts rows
+    per lang.  The shuffle is bounded by the vocabulary, not the corpus."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def distinct_rows(b: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for tok in set(_tokens(t)):
+                seen.add((lang, tok))
+        return pa.table(
+            {
+                "lang": pa.array([x[0] for x in seen], pa.string()),
+                "token": pa.array([x[1] for x in seen], pa.string()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .count()
+    )
+    from scrupyst_ray.pipelines.joins import rename
+
+    return rename(
+        distinct.map_batches(
+            lambda t: t.select(["lang"]), batch_format="pyarrow"
+        )
+        .groupby("lang")
+        .count(),
+        ["lang", "vocab"],
+    ).sort("lang")
+
+
+def vocab_by_lang_hll(sf_dir: str):
+    """(lang, vocab_est) — the SKETCH variant of :func:`vocab_by_lang`:
+    HyperLogLog registers (``functions/sketches.py``, 4 KB per lang) merged
+    with a ``groupby(lang, register).max`` — state is constant per lang at
+    ANY corpus size, duplicate partials are harmless (max is idempotent),
+    estimate ≈1.6% standard error (bounded vs the exact query in tests)."""
+    from scrupyst_ray.functions.hashing import stable_hash64
+    from scrupyst_ray.functions.sketches import hll_estimate, hll_partial
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def register_rows(b: pa.Table) -> pa.Table:
+        by_lang: dict[str, set[str]] = {}
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            by_lang.setdefault(lang, set()).update(_tokens(t))
+        langs, idxs, rhos = [], [], []
+        for lang, toks in by_lang.items():
+            if not toks:
+                continue
+            h = np.fromiter(
+                (stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            idx, rho = hll_partial(h)
+            langs.extend([lang] * len(idx))
+            idxs.extend(int(i) for i in idx)
+            rhos.extend(int(r) for r in rho)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "register": pa.array(idxs, pa.int64()),
+                "rho": pa.array(rhos, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(register_rows, batch_format="pyarrow")
+        .groupby(["lang", "register"])
+        .max("rho")
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        est = hll_estimate(
+            g["register"].to_numpy(zero_copy_only=False),
+            g["max(rho)"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "lang": pa.array([g["lang"][0].as_py()], pa.string()),
+                "vocab_est": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        merged.groupby("lang").map_groups(finish, batch_format="pyarrow").sort("lang")
+    )

@@ -195,3 +195,43 @@ class TestQuantileSketch:
             for p in ("p50", "p90", "p99"):
                 assert sk[s][p] <= exact[s][p]
                 assert exact[s][p] / max(sk[s][p], 1) <= 1.04
+
+
+class TestVocabHLL:
+    def test_estimate_within_error_bound(self, ray_session):
+        from scrupyst_ray.pipelines.textstats import (
+            vocab_by_lang,
+            vocab_by_lang_hll,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["lang"]: r["vocab"] for r in vocab_by_lang(sf).take_all()}
+        est = {r["lang"]: r["vocab_est"] for r in vocab_by_lang_hll(sf).take_all()}
+        assert set(exact) == set(est)
+        for lang, n in exact.items():
+            # p=12 HLL: ~1.6% standard error; 5% is a ~3-sigma bound
+            assert abs(est[lang] - n) / n <= 0.05, (lang, n, est[lang])
+
+    def test_partials_merge_idempotent(self):
+        import numpy as np
+
+        from scrupyst_ray.functions.hashing import stable_hash64
+        from scrupyst_ray.functions.sketches import hll_estimate, hll_partial
+
+        h = np.array(
+            [stable_hash64(f"t{i}") for i in range(3000)], dtype=np.uint64
+        )
+        i1, r1 = hll_partial(h)
+        # duplicate partials merged by max must not change the estimate
+        from collections import defaultdict
+
+        acc: defaultdict = defaultdict(int)
+        for _ in range(3):
+            for a, b in zip(i1, r1):
+                acc[a] = max(acc[a], b)
+        est_dup = hll_estimate(
+            np.array(list(acc.keys())), np.array(list(acc.values()))
+        )
+        est_one = hll_estimate(i1, r1)
+        assert est_dup == est_one
+        assert abs(est_one - 3000) / 3000 <= 0.05
