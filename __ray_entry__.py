@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": textstats.gopher_repetition,
         "gopher_quality_gate": textstats.gopher_quality_gate,
         "top_terms_by_lang": textstats.top_terms_by_lang,
+        "top_terms_by_lang_cms": textstats.top_terms_by_lang_cms,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm_ppl": lm.bigram_lm_ppl,
         "lm_ppl_by_source": lm.lm_ppl_by_source,
@@ -772,6 +773,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT lang, token, n FROM r WHERE rn <= 10
             ORDER BY lang, n DESC, token
+        """,
+        # Count-Min variant: the sketch only OVERestimates (min over d
+        # hashed cells), so with w=2048 cells the top-10 estimates equal
+        # the exact counts at this scale — the oracle is the exact query.
+        "top_terms_by_lang_cms": """
+            WITH t AS (SELECT lang, UNNEST(regexp_extract_all(text,'\\S+'))
+                           AS token
+                       FROM documents),
+            c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+            r AS (SELECT lang, token, n,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                             ORDER BY n DESC, token) AS rn
+                  FROM c)
+            SELECT lang, token, n AS n_est FROM r WHERE rn <= 10
+            ORDER BY lang, n_est DESC, token
         """,
         "jaccard_pairs_by_source": """
             WITH s AS (

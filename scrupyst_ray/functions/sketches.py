@@ -111,3 +111,42 @@ def hll_estimate(idx: np.ndarray, rho: np.ndarray) -> int:
     if est <= 2.5 * HLL_M and zeros:
         est = HLL_M * np.log(HLL_M / zeros)  # linear counting
     return int(round(est))
+
+
+# -- Count-Min frequency sketch ------------------------------------------------
+#
+# The heavy-hitters scale path: exact per-key counts need a key-wide shuffle
+# (fine for bounded vocabularies, the default top_terms path); a Count-Min
+# sketch bounds the state at d·w counters per group with ADDITIVE merge, and
+# estimates each candidate's count as the min over its d cells (always an
+# OVERestimate — ε ≈ e/w of the group's total mass, δ ≈ e^-d).
+
+CMS_W = 2048
+CMS_D = 4
+_CMS_SALTS = [b"cms0", b"cms1", b"cms2", b"cms3"]
+
+
+def cms_cells(token_hashes: np.ndarray) -> np.ndarray:
+    """(n, CMS_D) cell columns for pre-hashed uint64 keys: row r uses a
+    cheap salt-mix of the base hash (independent enough at w=2048, and —
+    critically — identical on every worker)."""
+    h = token_hashes.astype(np.uint64)
+    cols = np.empty((len(h), CMS_D), dtype=np.int64)
+    mask = (1 << 64) - 1
+    with np.errstate(over="ignore"):
+        for r in range(CMS_D):
+            salt = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & mask)
+            mixed = (h ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
+            cols[:, r] = ((mixed >> np.uint64(17)) % np.uint64(CMS_W)).astype(
+                np.int64
+            )
+    return cols
+
+
+def cms_estimate(
+    cells: dict[tuple[int, int], int], token_hash: int
+) -> int:
+    """Min-over-rows count estimate for one key from merged sparse cells
+    ((row, col) → count); absent cells are 0."""
+    cols = cms_cells(np.array([token_hash], dtype=np.uint64))[0]
+    return min(cells.get((r, int(c)), 0) for r, c in enumerate(cols))

@@ -235,3 +235,68 @@ class TestVocabHLL:
         est_one = hll_estimate(i1, r1)
         assert est_dup == est_one
         assert abs(est_one - 3000) / 3000 <= 0.05
+
+
+class TestCountMin:
+    def test_never_underestimates_and_tight_on_heavy(self):
+        from collections import Counter
+
+        import numpy as np
+
+        from scrupyst_ray.functions.hashing import stable_hash64
+        from scrupyst_ray.functions.sketches import (
+            CMS_D,
+            cms_cells,
+            cms_estimate,
+        )
+
+        # zipf-ish stream: token i appears ~3000//(i+1) times
+        stream = [f"t{i}" for i in range(400) for _ in range(3000 // (i + 1))]
+        truth = Counter(stream)
+        items = list(truth.items())
+        hs = np.array([stable_hash64(t) for t, _ in items], dtype=np.uint64)
+        ns = np.array([n for _, n in items], dtype=np.int64)
+        cells_idx = cms_cells(hs)
+        cells: dict = {}
+        for (tok, n), row in zip(items, cells_idx):
+            for r in range(CMS_D):
+                k = (r, int(row[r]))
+                cells[k] = cells.get(k, 0) + n
+        total = int(ns.sum())
+        for tok, n in items:
+            est = cms_estimate(cells, stable_hash64(tok))
+            assert est >= n, (tok, n, est)
+            # eps ~ e/w of total mass; generous 4x slack
+            assert est - n <= 4 * 2.72 * total / 2048, (tok, n, est)
+        # the heavy hitters are estimated exactly here
+        for tok, n in truth.most_common(10):
+            assert cms_estimate(cells, stable_hash64(tok)) == n
+
+    def test_pipeline_matches_exact_topk(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from scrupyst_ray.pipelines.textstats import (
+            top_terms_by_lang,
+            top_terms_by_lang_cms,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = top_terms_by_lang(sf, k=10)
+        exact = pa.concat_tables(ray.get(exact.to_arrow_refs()))
+        cms = top_terms_by_lang_cms(sf, k=10)
+        ex = list(
+            zip(
+                exact["lang"].to_pylist(),
+                exact["token"].to_pylist(),
+                exact["n"].to_pylist(),
+            )
+        )
+        cm = list(
+            zip(
+                cms["lang"].to_pylist(),
+                cms["token"].to_pylist(),
+                cms["n_est"].to_pylist(),
+            )
+        )
+        assert ex == cm
