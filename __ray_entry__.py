@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referer_policy_matrix": webops.referer_policy_matrix,
         "cookie_session": webops.cookie_session,
         "sitemap_entries": webops.sitemap_entries,
+        "warc_roundtrip": webops.warc_roundtrip,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
         "csvfeed_rows": webops.csvfeed_rows,
@@ -364,6 +365,20 @@ def oracle_sql() -> dict[str, str]:
     except ImportError:
         pass
     out = {
+        # WARC sink→source round-trip: status/date/body must survive the
+        # archive byte-exactly, so the oracle recomputes them from the
+        # source table (DuckDB strlen = utf-8 bytes, md5 = utf-8 digest)
+        "warc_roundtrip": """
+            SELECT 'http://warc.corpus.local/' || lang || '/' || doc_id
+                       AS url,
+                   CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
+                       AS INTEGER) AS http_status,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents ORDER BY url
+        """,
         "middleware_quality_gate": """
             SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars
             FROM documents

@@ -459,3 +459,90 @@ def middleware_quality_gate(sf_dir: str):
     return ds.map_batches(
         lambda b: mw.run("process_items", b), batch_format="pyarrow"
     ).sort("doc_id")
+
+
+def warc_roundtrip(sf_dir: str):
+    """(url, http_status, warc_ts, n_bytes, digest) — the documents table
+    rendered to sharded ``.warc.gz`` files (``sources/warc.py`` sink: one
+    gzip-member archive per block, written inside the tasks) and read back
+    through the WARC source; proves the archive round-trip byte-exactly
+    against a pure-SQL oracle over the same table (md5/strlen of text).
+
+    Deterministic mapping: url = ``http://warc.corpus.local/{lang}/{doc_id}``,
+    status 404 every 17th doc (exercises non-200 HTTP-block parsing),
+    warc_ts = 2025-01-01 + doc_id seconds (exercises WARC-Date round-trip).
+    """
+    import datetime as dt
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from scrupyst_ray.sources.warc import read_warc, write_warc
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    n_docs = docs.count()
+    out_dir = os.path.join(
+        "/tmp",
+        f"scrupyst_warc_v1_{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}",
+    )
+    done = os.path.join(out_dir, "_WARC_COMPLETE")
+
+    epoch = dt.datetime(2025, 1, 1)
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [
+                        f"http://warc.corpus.local/{lang}/{d}"
+                        for d, lang in zip(ids, b["lang"].to_pylist())
+                    ],
+                    pa.string(),
+                ),
+                "body": pa.array(
+                    [t.encode("utf-8") for t in b["text"].to_pylist()],
+                    pa.binary(),
+                ),
+                "status": pa.array(
+                    [404 if d % 17 == 0 else 200 for d in ids], pa.int32()
+                ),
+                "ts": pa.array(
+                    [epoch + dt.timedelta(seconds=d) for d in ids],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    if not os.path.exists(done):
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"),
+            out_dir,
+            status_col="status",
+            ts_col="ts",
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def project(b: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(body).hexdigest() for body in b["body"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": b["url"],
+                "http_status": pc.cast(b["http_status"], pa.int32()),
+                "warc_ts": b["warc_ts"],
+                "n_bytes": b["n_bytes"],
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return (
+        read_warc(out_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .sort("url")
+    )

@@ -1,0 +1,131 @@
+"""WARC source/sink (sources/warc.py): record rendering, plain + gzip
+multi-member parsing, warcinfo/record-type filtering, and the distributed
+sink→source round-trip."""
+
+import datetime as dt
+import glob
+import gzip
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from scrupyst_ray.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    render_record,
+    render_warcinfo,
+    write_warc,
+)
+
+
+class TestRecord:
+    def test_roundtrip_plain(self):
+        rec = render_record(
+            "http://a.example/x",
+            b"<html>hi</html>",
+            status=200,
+            ts=dt.datetime(2025, 3, 4, 5, 6, 7),
+        )
+        rows = parse_warc_bytes(rec)
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["url"] == "http://a.example/x"
+        assert r["http_status"] == 200
+        assert r["body"] == b"<html>hi</html>"
+        assert r["n_bytes"] == 15
+        assert r["warc_ts"] == dt.datetime(2025, 3, 4, 5, 6, 7)
+        assert r["content_type"] == "text/html"
+        assert r["record_id"].startswith("<urn:uuid:")
+
+    def test_rendering_is_deterministic(self):
+        a = render_record("http://a/x", b"b", ts=dt.datetime(2025, 1, 1))
+        b = render_record("http://a/x", b"b", ts=dt.datetime(2025, 1, 1))
+        assert a == b
+
+    def test_non_200_and_binary_body(self):
+        body = bytes(range(256)) * 3  # includes \r\n\r\n sequences
+        rec = render_record("http://a/404", body, status=404)
+        r = parse_warc_bytes(rec)[0]
+        assert r["http_status"] == 404
+        assert r["body"] == body
+
+    def test_warcinfo_skipped_by_default(self):
+        data = render_warcinfo("f.warc") + render_record("http://a/x", b"b")
+        rows = parse_warc_bytes(data)
+        assert [r["url"] for r in rows] == ["http://a/x"]
+        info = parse_warc_bytes(data, record_types=("warcinfo",))
+        assert len(info) == 1 and info[0]["warc_type"] == "warcinfo"
+
+    def test_gzip_multi_member(self):
+        members = [
+            gzip.compress(render_warcinfo("f.warc.gz"), mtime=0),
+            gzip.compress(render_record("http://a/1", b"one"), mtime=0),
+            gzip.compress(render_record("http://a/2", b"two"), mtime=0),
+        ]
+        rows = parse_warc_bytes(b"".join(members))
+        assert [(r["url"], r["body"]) for r in rows] == [
+            ("http://a/1", b"one"),
+            ("http://a/2", b"two"),
+        ]
+
+    def test_truncated_header_raises(self):
+        with pytest.raises(ValueError):
+            parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response")
+
+
+class TestSinkSource:
+    def test_distributed_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        urls = [f"http://h{i % 3}.example/p/{i}" for i in range(200)]
+        bodies = [f"body-{i}".encode() * (i % 7 + 1) for i in range(200)]
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "body": pa.array(bodies, pa.binary()),
+                "status": pa.array(
+                    [200 if i % 5 else 301 for i in range(200)], pa.int32()
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        out = str(tmp_path / "warc")
+        manifest = write_warc(ds, out, status_col="status")
+        assert manifest.num_rows >= 1
+        assert sum(manifest["records"].to_pylist()) == 200
+        # shard files exist and are gzip
+        files = sorted(glob.glob(out + "/part-*.warc.gz"))
+        assert files and open(files[0], "rb").read(2) == b"\x1f\x8b"
+
+        back = read_warc(out)
+        got = {
+            r["url"]: (r["http_status"], r["body"], r["n_bytes"])
+            for r in back.take_all()
+        }
+        assert len(got) == 200
+        for i, (u, body) in enumerate(zip(urls, bodies)):
+            st = 200 if i % 5 else 301
+            assert got[u] == (st, body, len(body)), u
+
+    def test_rewrite_is_byte_identical(self, ray_session, tmp_path):
+        import ray.data
+
+        t = pa.table(
+            {
+                "url": pa.array(["http://a/1", "http://a/2"], pa.string()),
+                "body": pa.array([b"x", b"yy"], pa.binary()),
+            }
+        )
+        out = str(tmp_path / "w")
+        write_warc(ray.data.from_arrow(t), out)
+        first = {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(out + "/*.warc.gz")
+        }
+        write_warc(ray.data.from_arrow(t), out)
+        second = {
+            p: hashlib.md5(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(out + "/*.warc.gz")
+        }
+        assert first == second
