@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         lm,
         relational,
+        report,
         textprep,
         textstats,
         webops,
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cookie_session": webops.cookie_session,
         "sitemap_entries": webops.sitemap_entries,
         "warc_roundtrip": webops.warc_roundtrip,
+        "curation_funnel": report.curation_funnel,
+        "host_page_stats": report.host_page_stats,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
         "csvfeed_rows": webops.csvfeed_rows,
@@ -691,6 +694,39 @@ def oracle_sql() -> dict[str, str]:
               AND COALESCE(p2.top_c*1.0/p2.total, 0) <= 0.10
             ORDER BY d.doc_id
         """,
+        # cumulative curation-funnel survivors: min-tokens → gopher
+        # repetition → C4 char quality → exact-dup distinct texts
+        "curation_funnel": _GOPHER_CTE
+        + """
+            , q AS (
+              SELECT d.doc_id, d.text,
+                     len(regexp_extract_all(d.text,'\\S+')) AS nt,
+                     COALESCE(p2.dup_occ*1.0/p2.total, 0) AS dup2,
+                     COALESCE(p2.top_c*1.0/p2.total, 0) AS top2,
+                     d.n_chars,
+                     length(regexp_replace(d.text,'[^A-Za-z]','','g'))*1.0
+                         / length(d.text) AS alpha
+              FROM documents d LEFT JOIN p2 USING(doc_id)),
+            s AS (
+              SELECT text,
+                     (nt >= 15) AS s1,
+                     (nt >= 15 AND dup2 <= 0.15 AND top2 <= 0.10) AS s2,
+                     (nt >= 15 AND dup2 <= 0.15 AND top2 <= 0.10
+                      AND n_chars >= 100 AND alpha > 0.5) AS s3
+              FROM q)
+            SELECT * FROM (
+              SELECT '0_total' AS stage, COUNT(*) AS n_docs FROM s
+              UNION ALL
+              SELECT '1_min_tokens', COUNT(*) FROM s WHERE s1
+              UNION ALL
+              SELECT '2_gopher_repetition', COUNT(*) FROM s WHERE s2
+              UNION ALL
+              SELECT '3_quality', COUNT(*) FROM s WHERE s3
+              UNION ALL
+              SELECT '4_distinct_text', COUNT(DISTINCT md5(text))
+              FROM s WHERE s3
+            ) ORDER BY stage
+        """,
         # exact distinct-token count per language (batch set-dedup combiner
         # + vocab-bounded groupby on the Ray side)
         "vocab_by_lang": """
@@ -1097,6 +1133,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, TRUE AS roundtrip_ok,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
             FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+        # per-host crawl coverage report over the same stored pages
+        out["host_page_stats"] = f"""
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(octet_length(html)) AS BIGINT) AS html_bytes,
+                   MIN(warc_ts) AS first_ts,
+                   MAX(warc_ts) AS last_ts
+            FROM read_parquet('{corpus_glob}')
+            GROUP BY 1 ORDER BY 1
         """
         # byte-identical text invariant: expected encoding is derived from
         # the page index (the FIXTURES encoding matrix cycles by n % 6,

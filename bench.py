@@ -180,6 +180,9 @@ def run_query_bench(sf_dir: str) -> dict:
         "doc_length_quantiles",
         "embedding_covariance",
         "bigram_lm_ppl",
+        "top_terms_by_lang_cms",
+        "curation_funnel",
+        "warc_roundtrip",
         # neardup_cluster_sizes is excluded: its exact-Jaccard pair graph at
         # sf0.1 (232k pairs) makes it a ~1 min query — correctness-gated at
         # sf0.01 instead
