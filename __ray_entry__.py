@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster,
         curation,
         dedup,
+        graph,
         lm,
         relational,
         report,
@@ -265,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": webops.warc_roundtrip,
         "curation_funnel": report.curation_funnel,
         "host_page_stats": report.host_page_stats,
+        "pagerank": graph.pagerank,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
         "csvfeed_rows": webops.csvfeed_rows,
@@ -354,6 +356,40 @@ _PACK_CTE = """
         FROM t
     )
 """
+
+
+def _pagerank_sql(edges_glob: str, iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled power iteration: inc_k = Σ r_{k-1}/outdeg over in-edges,
+    dangling mass = 1 − Σ inc_k (rank mass is conserved), then the damped
+    update — the same formula pipelines/graph.py evaluates distributed."""
+    head = f"""
+        WITH edges AS (SELECT src, dst FROM read_parquet('{edges_glob}')),
+        nodes AS (SELECT DISTINCT url FROM
+            (SELECT src AS url FROM edges UNION SELECT dst AS url FROM edges)),
+        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                   FROM edges GROUP BY 1),
+        r0 AS (SELECT url, 1.0/(SELECT n FROM cnt) AS r FROM nodes)"""
+    body = ""
+    for k in range(1, iters + 1):
+        p = k - 1
+        body += f""",
+        inc{k} AS (SELECT e.dst AS url, SUM(r{p}.r / o.deg) AS s
+                   FROM edges e
+                   JOIN r{p} ON e.src = r{p}.url
+                   JOIN outdeg o ON o.src = e.src
+                   GROUP BY 1),
+        r{k} AS (SELECT nd.url,
+                        (1.0 - {d})/(SELECT n FROM cnt)
+                        + {d} * (COALESCE(i.s, 0)
+                            + (1.0 - (SELECT COALESCE(SUM(s), 0)
+                                      FROM inc{k}))
+                              / (SELECT n FROM cnt)) AS r
+                 FROM nodes nd LEFT JOIN inc{k} i USING (url))"""
+    tail = f"""
+        SELECT url, printf('%.4f', r * (SELECT n FROM cnt)) AS pr
+        FROM r{iters} ORDER BY url"""
+    return head + body + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1134,6 +1170,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
             FROM read_parquet('{corpus_glob}') ORDER BY url
         """
+        # PageRank: 5 unrolled power iterations over the persisted
+        # follow-edge list (the Ray side extracts + persists the edges,
+        # verified by the link-extractor goldens; the oracle independently
+        # recomputes the ITERATIVE MATH — degrees, dangling mass, damping)
+        try:
+            from scrupyst_ray.pipelines.graph import _GRAPH_VERSION
+            from scrupyst_ray.sources.corpus import CORPUS_VERSION as _CV
+
+            edges_glob = os.path.join(
+                "/tmp",
+                f"scrupyst_linkgraph_v{_CV}.{_GRAPH_VERSION}_H8_P50",
+                "edges",
+                "*.parquet",
+            )
+            out["pagerank"] = _pagerank_sql(edges_glob)
+        except ImportError:
+            pass
         # per-host crawl coverage report over the same stored pages
         out["host_page_stats"] = f"""
             SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,

@@ -1,0 +1,203 @@
+"""Distributed PageRank over the extracted link graph — the canonical
+iterative web-graph operator (Page et al. '99; the reason crawlers exist).
+
+Pipeline shape (all Ray Data, superstep-driver like ``pipelines/crawl.py``):
+
+- **Edge store** (one-time, marker-gated): pages → link extraction →
+  distinct follow edges ``(src, dst)`` persisted as parquet — ``rel=nofollow``
+  edges are dropped because nofollow does not pass rank.
+- **Static tables** (built once, reused every iteration): out-degree per
+  src, the node set (src ∪ dst), and edges pre-weighted with ``1/outdeg``.
+- **Per iteration** (no driver-side node table ever):
+  ranks ⨝ weighted-edges on src (size-selected broadcast vs distributed
+  hash join, ``pipelines/joins.py``) → per-batch contribution
+  ``r·(1/deg)`` → ``groupby(dst).sum`` — the ONLY shuffle, and it moves one
+  float per edge.  Dangling mass needs no dangling-node join: rank mass is
+  conserved, so ``dang = 1 − Σ incoming``, a driver scalar.
+- New ranks: nodes LEFT-attach incoming (fill 0) →
+  ``(1−d)/n + d·(s + dang/n)``.
+
+At web scale the node/rank table is sharded like any Dataset and both join
+sides stay distributed; only ``n``, ``Σ incoming`` (two scalars per
+iteration) reach the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from scrupyst_ray.pipelines.joins import (
+    attach_by_key,
+    attach_from_lookup,
+    broadcast_lookup,
+    dist_join,
+    rename,
+    _small_enough,
+)
+
+_GRAPH_VERSION = 1
+
+
+def edges_store(H: int = 8, P: int = 50) -> str:
+    """Persist the corpus' distinct follow-edge list once; return the dir."""
+    from scrupyst_ray.functions.links import extract_links_batch
+    from scrupyst_ray.functions.textextract import detect_and_decode
+    from scrupyst_ray.sources.corpus import CORPUS_VERSION, corpus_cache_dir, write_corpus
+
+    root = os.path.join(
+        "/tmp",
+        f"scrupyst_linkgraph_v{CORPUS_VERSION}.{_GRAPH_VERSION}_H{H}_P{P}",
+    )
+    edges_dir = os.path.join(root, "edges")
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return edges_dir
+
+    corpus = corpus_cache_dir("/tmp", H, P)
+    write_corpus(corpus, H=H, P=P)
+    pages = ray.data.read_parquet(
+        os.path.join(corpus, "pages"), columns=["url", "html"]
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        decoded = [detect_and_decode(h or b"") for h in b["html"].to_pylist()]
+        t = extract_links_batch(
+            [txt for _, txt in decoded], urls, [e for e, _ in decoded]
+        )
+        t = t.filter(pc.invert(t["nofollow"]))
+        return t.select(["src", "dst"])
+
+    distinct = (
+        pages.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    os.makedirs(root, exist_ok=True)
+    distinct.write_parquet(edges_dir)
+    with open(marker, "w") as f:
+        f.write(f"H={H} P={P}\n")
+    return edges_dir
+
+
+def _left_attach_fill0(nodes, incoming, n_incoming: int):
+    """nodes(url) LEFT-attach incoming(url, s) with 0.0 for no-inlink nodes —
+    size-selected like attach_by_key but keeping unmatched rows."""
+    if n_incoming > 0 and _small_enough(incoming, n_incoming):
+        ref = broadcast_lookup(incoming, "url", "s")
+        return nodes.map_batches(
+            lambda b: attach_from_lookup(b, "url", "s", ref, fill=0.0),
+            batch_format="pyarrow",
+        )
+    side = rename(incoming, ["__k_url", "s"])
+    out = dist_join(nodes, side, "left_outer", ("url",), ("__k_url",))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "s": pc.fill_null(
+                    pc.cast(t["s"], pa.float64()), 0.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank(
+    sf_dir: str,
+    iters: int = 5,
+    damping: float = 0.85,
+    H: int = 8,
+    P: int = 50,
+):
+    """(url, pr) after *iters* power iterations; ``pr`` is the rank scaled
+    by n (≈1.0 for an average page) printed %.4f for float-stable compares."""
+    edges = ray.data.read_parquet(edges_store(H, P))
+
+    outdeg = edges.groupby("src").count()
+    wedges = attach_by_key(
+        edges,
+        rename(outdeg, ["src", "deg"]),
+        "src",
+        "deg",
+    ).map_batches(
+        # keep deg itself and divide r/deg per iteration — the exact same
+        # float op the SQL oracle performs (r * (1/deg) differs in the ulp)
+        lambda t: pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "deg": pc.cast(t["deg"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    nodes = (
+        rename(edges.select_columns(["src"]), ["url"])
+        .union(rename(edges.select_columns(["dst"]), ["url"]))
+        .groupby("url")
+        .count()
+        .select_columns(["url"])
+        .materialize()
+    )
+    n = nodes.count()
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "r", pa.array([1.0 / n] * b.num_rows, pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        contribs = attach_by_key(wedges, ranks, "src", "r").map_batches(
+            lambda t: pa.table(
+                {"dst": t["dst"], "c": pc.divide(t["r"], t["deg"])}
+            ),
+            batch_format="pyarrow",
+        )
+        incoming = rename(
+            contribs.groupby("dst").sum("c"), ["url", "s"]
+        ).materialize()
+        total_in = incoming.sum("s") or 0.0
+        dang = 1.0 - total_in
+        base = (1.0 - damping) / n + damping * dang / n
+        ranks = (
+            _left_attach_fill0(nodes, incoming, incoming.count())
+            .map_batches(
+                lambda t, base=base: pa.table(
+                    {
+                        "url": t["url"],
+                        "r": pc.add(
+                            pa.scalar(base),
+                            pc.multiply(
+                                pa.scalar(damping),
+                                pc.cast(t["s"], pa.float64()),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        scaled = pc.multiply(t["r"], pa.scalar(float(n)))
+        return pa.table(
+            {
+                "url": t["url"],
+                "pr": pa.array(
+                    [f"{v:.4f}" for v in scaled.to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return ranks.map_batches(fmt, batch_format="pyarrow").sort("url")
