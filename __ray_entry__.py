@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": report.curation_funnel,
         "host_page_stats": report.host_page_stats,
         "pagerank": graph.pagerank,
+        "degree_distribution": graph.degree_distribution,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
         "csvfeed_rows": webops.csvfeed_rows,
@@ -1185,6 +1186,18 @@ def oracle_sql() -> dict[str, str]:
                 "*.parquet",
             )
             out["pagerank"] = _pagerank_sql(edges_glob)
+            out["degree_distribution"] = f"""
+                WITH edges AS (SELECT src, dst
+                               FROM read_parquet('{edges_glob}')),
+                o AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY 1),
+                i AS (SELECT dst, COUNT(*) AS degree FROM edges GROUP BY 1)
+                SELECT * FROM (
+                  SELECT 'in' AS direction, degree, COUNT(*) AS n_nodes
+                  FROM i GROUP BY 2
+                  UNION ALL
+                  SELECT 'out', degree, COUNT(*) FROM o GROUP BY 2
+                ) ORDER BY direction, degree
+            """
         except ImportError:
             pass
         # per-host crawl coverage report over the same stored pages

@@ -201,3 +201,27 @@ def pagerank(
         )
 
     return ranks.map_batches(fmt, batch_format="pyarrow").sort("url")
+
+
+def degree_distribution(sf_dir: str, H: int = 8, P: int = 50):
+    """(direction, degree, n_nodes) — in-/out-degree histograms of the link
+    graph (the shape report that sizes shuffle skew: a power-law tail here
+    is exactly the hot-key risk the crawl's per-host caps bound).
+
+    Scale shape: degree per node via one edge-keyed groupby per direction
+    (cardinality ≤ nodes), then a tiny histogram groupby over degrees."""
+    edges = ray.data.read_parquet(edges_store(H, P))
+
+    def hist(keyed, direction: str):
+        deg = rename(keyed.groupby(keyed.columns()[0]).count(), ["url", "degree"])
+        h = rename(deg.groupby("degree").count(), ["degree", "n_nodes"])
+        return h.map_batches(
+            lambda t, d=direction: t.append_column(
+                "direction", pa.array([d] * t.num_rows, pa.string())
+            ).select(["direction", "degree", "n_nodes"]),
+            batch_format="pyarrow",
+        )
+
+    out = hist(edges.select_columns(["src"]), "out")
+    ind = hist(edges.select_columns(["dst"]), "in")
+    return ind.union(out).sort(["direction", "degree"])

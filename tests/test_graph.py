@@ -72,3 +72,26 @@ class TestPageRank:
             zip(normal["url"].to_pylist(), normal["pr"].to_pylist())
         )
         assert a == b
+
+
+class TestDegreeDistribution:
+    def test_matches_local(self, ray_session):
+        from collections import Counter
+
+        from scrupyst_ray.pipelines.graph import degree_distribution
+
+        t = collect_table(degree_distribution("/root/testdata/sf0.001"))
+        edges = pq.read_table(edges_store())
+        outd = Counter(Counter(edges["src"].to_pylist()).values())
+        ind = Counter(Counter(edges["dst"].to_pylist()).values())
+        got = {
+            (d, deg): n
+            for d, deg, n in zip(
+                t["direction"].to_pylist(),
+                t["degree"].to_pylist(),
+                t["n_nodes"].to_pylist(),
+            )
+        }
+        want = {("out", deg): n for deg, n in outd.items()}
+        want.update({("in", deg): n for deg, n in ind.items()})
+        assert got == want
