@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_page_stats": report.host_page_stats,
         "pagerank": graph.pagerank,
         "degree_distribution": graph.degree_distribution,
+        "hits_scores": graph.hits,
         "followup_frontier": webops.followup_frontier,
         "xmlfeed_nodes": webops.xmlfeed_nodes,
         "csvfeed_rows": webops.csvfeed_rows,
@@ -364,23 +365,25 @@ def _pagerank_sql(edges_glob: str, iters: int = 5, d: float = 0.85) -> str:
     dangling mass = 1 − Σ inc_k (rank mass is conserved), then the damped
     update — the same formula pipelines/graph.py evaluates distributed."""
     head = f"""
-        WITH edges AS (SELECT src, dst FROM read_parquet('{edges_glob}')),
-        nodes AS (SELECT DISTINCT url FROM
+        WITH edges AS MATERIALIZED (
+            SELECT src, dst FROM read_parquet('{edges_glob}')),
+        nodes AS MATERIALIZED (SELECT DISTINCT url FROM
             (SELECT src AS url FROM edges UNION SELECT dst AS url FROM edges)),
-        cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-        outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+        cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
                    FROM edges GROUP BY 1),
-        r0 AS (SELECT url, 1.0/(SELECT n FROM cnt) AS r FROM nodes)"""
+        r0 AS MATERIALIZED (
+            SELECT url, 1.0/(SELECT n FROM cnt) AS r FROM nodes)"""
     body = ""
     for k in range(1, iters + 1):
         p = k - 1
         body += f""",
-        inc{k} AS (SELECT e.dst AS url, SUM(r{p}.r / o.deg) AS s
+        inc{k} AS MATERIALIZED (SELECT e.dst AS url, SUM(r{p}.r / o.deg) AS s
                    FROM edges e
                    JOIN r{p} ON e.src = r{p}.url
                    JOIN outdeg o ON o.src = e.src
                    GROUP BY 1),
-        r{k} AS (SELECT nd.url,
+        r{k} AS MATERIALIZED (SELECT nd.url,
                         (1.0 - {d})/(SELECT n FROM cnt)
                         + {d} * (COALESCE(i.s, 0)
                             + (1.0 - (SELECT COALESCE(SUM(s), 0)
@@ -390,6 +393,42 @@ def _pagerank_sql(edges_glob: str, iters: int = 5, d: float = 0.85) -> str:
     tail = f"""
         SELECT url, printf('%.4f', r * (SELECT n FROM cnt)) AS pr
         FROM r{iters} ORDER BY url"""
+    return head + body + tail
+
+
+def _hits_sql(edges_glob: str, iters: int = 5) -> str:
+    """Unrolled HITS: auth_k ∝ Σ hub_{k-1} over in-edges, hub_k ∝ Σ auth_k
+    over out-edges, L1-normalized each half-step — mirrors graph.hits."""
+    head = f"""
+        WITH edges AS MATERIALIZED (
+            SELECT src, dst FROM read_parquet('{edges_glob}')),
+        nodes AS MATERIALIZED (SELECT DISTINCT url FROM
+            (SELECT src AS url FROM edges UNION SELECT dst AS url FROM edges)),
+        cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT url, 1.0/(SELECT n FROM cnt) AS s FROM nodes)"""
+    body = ""
+    for k in range(1, iters + 1):
+        p = k - 1
+        body += f""",
+        a{k}p AS MATERIALIZED (SELECT e.dst AS url, SUM(h{p}.s) AS v
+                  FROM edges e JOIN h{p} ON e.src = h{p}.url GROUP BY 1),
+        a{k} AS MATERIALIZED (SELECT nd.url,
+                        COALESCE(p.v, 0) / (SELECT SUM(v) FROM a{k}p) AS s
+                 FROM nodes nd LEFT JOIN a{k}p p USING (url)),
+        h{k}p AS MATERIALIZED (SELECT e.src AS url, SUM(a{k}.s) AS v
+                  FROM edges e JOIN a{k} ON e.dst = a{k}.url GROUP BY 1),
+        h{k} AS MATERIALIZED (SELECT nd.url,
+                        COALESCE(p.v, 0) / (SELECT SUM(v) FROM h{k}p) AS s
+                 FROM nodes nd LEFT JOIN h{k}p p USING (url))"""
+    tail = f"""
+        SELECT nd.url,
+               printf('%.4f', h{iters}.s * (SELECT n FROM cnt)) AS hub,
+               printf('%.4f', a{iters}.s * (SELECT n FROM cnt)) AS auth
+        FROM nodes nd
+        JOIN h{iters} ON nd.url = h{iters}.url
+        JOIN a{iters} ON nd.url = a{iters}.url
+        ORDER BY nd.url"""
     return head + body + tail
 
 
@@ -1186,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
                 "*.parquet",
             )
             out["pagerank"] = _pagerank_sql(edges_glob)
+            out["hits_scores"] = _hits_sql(edges_glob)
             out["degree_distribution"] = f"""
                 WITH edges AS (SELECT src, dst
                                FROM read_parquet('{edges_glob}')),

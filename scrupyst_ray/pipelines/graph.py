@@ -225,3 +225,86 @@ def degree_distribution(sf_dir: str, H: int = 8, P: int = 50):
     out = hist(edges.select_columns(["src"]), "out")
     ind = hist(edges.select_columns(["dst"]), "in")
     return ind.union(out).sort(["direction", "degree"])
+
+
+def hits(sf_dir: str, iters: int = 5, H: int = 8, P: int = 50):
+    """(url, hub, auth) — Kleinberg's HITS after *iters* mutual-reinforcement
+    rounds with L1 normalization (auth ∝ Σ hub over in-edges, hub ∝ Σ auth
+    over out-edges).  Same distributed shape as :func:`pagerank`: each half-
+    step is one size-selected join + one float-per-edge groupby-sum; only
+    the L1 total (one scalar) reaches the driver.  Scores are scaled by n
+    (≈1.0 average) and printed %.4f."""
+    edges = ray.data.read_parquet(edges_store(H, P))
+    nodes = (
+        rename(edges.select_columns(["src"]), ["url"])
+        .union(rename(edges.select_columns(["dst"]), ["url"]))
+        .groupby("url")
+        .count()
+        .select_columns(["url"])
+        .materialize()
+    )
+    n = nodes.count()
+    edges = edges.materialize()
+
+    def uniform(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "s", pa.array([1.0 / n] * b.num_rows, pa.float64())
+        )
+
+    def half_step(scores, join_key: str, group_key: str):
+        """scores(url,s) pushed across edges joined on *join_key*, summed per
+        *group_key*, L1-normalized over the node set."""
+        pushed = attach_by_key(edges, scores, join_key, "s").map_batches(
+            lambda t: pa.table({"url": t[group_key], "c": t["s"]}),
+            batch_format="pyarrow",
+        )
+        summed = rename(
+            pushed.groupby("url").sum("c"), ["url", "s"]
+        ).materialize()
+        total = summed.sum("s") or 1.0
+        return (
+            _left_attach_fill0(nodes, summed, summed.count())
+            .map_batches(
+                lambda t, total=total: pa.table(
+                    {
+                        "url": t["url"],
+                        "s": pc.divide(
+                            pc.cast(t["s"], pa.float64()), pa.scalar(total)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    hub = nodes.map_batches(uniform, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+
+    def fmt(name):
+        def inner(t: pa.Table) -> pa.Table:
+            scaled = pc.multiply(t["s"], pa.scalar(float(n)))
+            return pa.table(
+                {
+                    "url": t["url"],
+                    name: pa.array(
+                        [f"{v:.4f}" for v in scaled.to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        return inner
+
+    hub_t = hub.map_batches(fmt("hub"), batch_format="pyarrow")
+    auth_t = rename(
+        auth.map_batches(fmt("auth"), batch_format="pyarrow"),
+        ["__k_url", "auth"],
+    )
+    joined = dist_join(hub_t, auth_t, "inner", ("url",), ("__k_url",))
+    return joined.map_batches(
+        lambda t: t.select(["url", "hub", "auth"]), batch_format="pyarrow"
+    ).sort("url")

@@ -95,3 +95,39 @@ class TestDegreeDistribution:
         want = {("out", deg): n for deg, n in outd.items()}
         want.update({("in", deg): n for deg, n in ind.items()})
         assert got == want
+
+
+class TestHITS:
+    def test_matches_local_numpy(self, ray_session):
+        from scrupyst_ray.pipelines.graph import hits
+
+        t = collect_table(hits("/root/testdata/sf0.001"))
+        edges = pq.read_table(edges_store())
+        src = edges["src"].to_pylist()
+        dst = edges["dst"].to_pylist()
+        nodes = sorted(set(src) | set(dst))
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        h = np.full(n, 1.0 / n)
+        for _ in range(5):
+            a = np.zeros(n)
+            for u, v in zip(src, dst):
+                a[idx[v]] += h[idx[u]]
+            a /= a.sum()
+            h = np.zeros(n)
+            for u, v in zip(src, dst):
+                h[idx[u]] += a[idx[v]]
+            h /= h.sum()
+        got = {
+            u: (float(hb), float(ab))
+            for u, hb, ab in zip(
+                t["url"].to_pylist(),
+                t["hub"].to_pylist(),
+                t["auth"].to_pylist(),
+            )
+        }
+        assert len(got) == n
+        for u in nodes:
+            gh, ga = got[u]
+            assert abs(gh - h[idx[u]] * n) <= 2e-4, u
+            assert abs(ga - a[idx[u]] * n) <= 2e-4, u
