@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": relational.events_sliding_window,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "customer_big_order_counts": relational.customer_big_order_counts,
@@ -614,6 +616,36 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # Q4 shape: distributed LEFT SEMI join (EXISTS), counts per priority
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_discount > 0.05)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q5: local-supplier revenue per nation in one region/year —
+        # region/nation/supplier broadcast, orders⨝lineitem distributed
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   printf('%.2f',
+                          SUM(l.l_extendedprice * (1 - l.l_discount)))
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
         """,
         # distributed LEFT OUTER join: per-customer count of orders over
         # 400k, zero-count customers included

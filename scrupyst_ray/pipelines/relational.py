@@ -665,3 +665,176 @@ def customer_big_order_counts(sf_dir: str, threshold: float = 400_000.0):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+def q4_order_priority(
+    sf_dir: str,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    min_discount: float = 0.05,
+):
+    """TPC-H Q4 shape: order counts per priority for orders that HAVE at
+    least one qualifying line — the EXISTS pattern as a distributed
+    LEFT SEMI hash join (``Dataset.join(how="left_semi")``: the probe side
+    keeps rows with ≥1 match and emits them once, no payload attach).
+
+    Q3 shows the broadcast ``is_in`` small-side alternative; this one
+    exercises the shuffle semi join, the right shape when the inner side
+    (lineitem keys) is too large to broadcast."""
+    import datetime as dt
+
+    lo = dt.datetime.fromisoformat(date_from)
+    hi = dt.datetime.fromisoformat(date_to)
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    li_keys = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_discount"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["l_discount"], pa.scalar(min_discount))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    semi = dist_join(
+        orders, li_keys, "left_semi", ("o_orderkey",), ("l_orderkey",)
+    )
+    return (
+        semi.groupby("o_orderpriority")
+        .aggregate(Count())
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "order_count"]),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )
+
+
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+):
+    """TPC-H Q5: revenue per nation from lineitems where the supplier and
+    the ordering customer share a nation inside *region*, one year window.
+
+    Join plan (sized like a real optimizer would):
+    - region⨝nation and supplier are TINY → broadcast lookups
+      (``ray.put`` once, ``pc.index_in`` per batch);
+    - customer's (custkey → nationkey) attaches onto orders via the
+      size-selected :func:`attach_by_key` (broadcast at bench scale, hash
+      join at corpus scale);
+    - the only big⨝big edge — filtered orders ⨝ lineitem — is the
+      distributed hash join on the order key.
+    """
+    import datetime as dt
+
+    lo = dt.datetime.fromisoformat(date_from)
+    hi = dt.datetime.fromisoformat(date_to)
+
+    from scrupyst_ray.pipelines.joins import attach_by_key, rename
+
+    # nation keys inside the region + their names (driver-side: ≤25 rows)
+    from scrupyst_ray.pipelines.joins import collect_table
+
+    nat = collect_table(_read(sf_dir, "nation"))
+    reg = collect_table(_read(sf_dir, "region"))
+    rkeys = {
+        k
+        for k, name in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        )
+        if name == region
+    }
+    nat_keys = [
+        k
+        for k, rk in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+        )
+        if rk in rkeys
+    ]
+    nat_names = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    nat_key_arr = pa.array(nat_keys, pa.int64())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=nat_key_arr)),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = attach_by_key(orders, cust, "o_custkey", "c_nationkey")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_ref = broadcast_lookup(supp, "s_suppkey", "s_nationkey")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = attach_from_lookup(b, "l_suppkey", "s_nationkey", supp_ref)
+        b = b.filter(pc.is_in(b["s_nationkey"], value_set=nat_key_arr))
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "s_nationkey": b["s_nationkey"],
+                "revenue": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    local = joined.map_batches(
+        lambda t: t.filter(
+            pc.equal(t["s_nationkey"], t["c_nationkey"])
+        ).select(["s_nationkey", "revenue"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        local.groupby("s_nationkey")
+        .aggregate(Sum("revenue"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_name": pa.array(
+                        [
+                            nat_names[k]
+                            for k in t["s_nationkey"].to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                    "revenue": t["sum(revenue)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("n_name")
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
+    )

@@ -107,3 +107,79 @@ class TestLeftOuterJoinQuery:
         assert got.n_big_orders.tolist() == want.n.tolist()
         # the outer side must actually be exercised: some zeros, some not
         assert (got.n_big_orders == 0).any() and (got.n_big_orders > 0).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiJoinQuery:
+    def test_q4_counts_match_duckdb(self):
+        from scrupyst_ray.pipelines.joins import collect_table
+        from scrupyst_ray.pipelines.relational import q4_order_priority
+
+        got = collect_table(q4_order_priority(SF))
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        want = con.execute(
+            """SELECT o_orderpriority, COUNT(*) FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-04-01'
+                 AND EXISTS (SELECT 1 FROM lineitem
+                             WHERE l_orderkey = o_orderkey
+                               AND l_discount > 0.05)
+               GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        assert list(
+            zip(
+                got["o_orderpriority"].to_pylist(),
+                got["order_count"].to_pylist(),
+            )
+        ) == want
+        # semi means each qualifying order counted ONCE despite multiple
+        # matching lines
+        total = sum(n for _, n in want)
+        n_orders = con.execute(
+            """SELECT COUNT(*) FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-04-01'"""
+        ).fetchone()[0]
+        assert total <= n_orders
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ5Join:
+    def test_local_supplier_revenue(self):
+        from scrupyst_ray.pipelines.joins import collect_table
+        from scrupyst_ray.pipelines.relational import q5_local_supplier_volume
+
+        got = collect_table(q5_local_supplier_volume(SF))
+        con = duckdb.connect()
+        for t in (
+            "lineitem",
+            "orders",
+            "customer",
+            "supplier",
+            "nation",
+            "region",
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        want = con.execute(
+            """SELECT n.n_name,
+                      printf('%.2f', SUM(l.l_extendedprice*(1-l.l_discount)))
+               FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               JOIN nation n ON s.s_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+                 AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o.o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        assert list(
+            zip(got["n_name"].to_pylist(), got["revenue"].to_pylist())
+        ) == want
