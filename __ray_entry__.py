@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cookie_session": webops.cookie_session,
         "sitemap_entries": webops.sitemap_entries,
         "warc_roundtrip": webops.warc_roundtrip,
+        "cdx_index": webops.cdx_index,
         "curation_funnel": report.curation_funnel,
         "host_page_stats": report.host_page_stats,
         "pagerank": graph.pagerank,
@@ -459,6 +460,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS digest
             FROM documents ORDER BY url
+        """,
+        # CDX capture index over the WARC store: the SURT key for this
+        # host shape is string-derivable, the rest mirrors warc_roundtrip
+        "cdx_index": """
+            SELECT 'local,corpus,warc)/' || lang || '/' || doc_id AS surt,
+                   TIMESTAMP '2025-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                   'http://warc.corpus.local/' || lang || '/' || doc_id
+                       AS url,
+                   CAST(CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END
+                       AS INTEGER) AS http_status,
+                   md5(text) AS digest
+            FROM documents ORDER BY surt, warc_ts
         """,
         "middleware_quality_gate": """
             SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars

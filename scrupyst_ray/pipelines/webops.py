@@ -461,23 +461,15 @@ def middleware_quality_gate(sf_dir: str):
     ).sort("doc_id")
 
 
-def warc_roundtrip(sf_dir: str):
-    """(url, http_status, warc_ts, n_bytes, digest) — the documents table
-    rendered to sharded ``.warc.gz`` files (``sources/warc.py`` sink: one
-    gzip-member archive per block, written inside the tasks) and read back
-    through the WARC source; proves the archive round-trip byte-exactly
-    against a pure-SQL oracle over the same table (md5/strlen of text).
-
-    Deterministic mapping: url = ``http://warc.corpus.local/{lang}/{doc_id}``,
-    status 404 every 17th doc (exercises non-200 HTTP-block parsing),
-    warc_ts = 2025-01-01 + doc_id seconds (exercises WARC-Date round-trip).
-    """
+def warc_store(sf_dir: str) -> str:
+    """One-time (marker-gated) render of the documents table to sharded
+    ``.warc.gz`` files; returns the store dir.  Deterministic mapping:
+    url = ``http://warc.corpus.local/{lang}/{doc_id}``, status 404 every
+    17th doc (exercises non-200 HTTP-block parsing), warc_ts = 2025-01-01 +
+    doc_id seconds (exercises WARC-Date round-trip)."""
     import datetime as dt
-    import hashlib
 
-    import pyarrow.compute as pc
-
-    from scrupyst_ray.sources.warc import read_warc, write_warc
+    from scrupyst_ray.sources.warc import write_warc
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -489,6 +481,8 @@ def warc_roundtrip(sf_dir: str):
         f"scrupyst_warc_v1_{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}",
     )
     done = os.path.join(out_dir, "_WARC_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
 
     epoch = dt.datetime(2025, 1, 1)
 
@@ -517,15 +511,30 @@ def warc_roundtrip(sf_dir: str):
             }
         )
 
-    if not os.path.exists(done):
-        write_warc(
-            docs.map_batches(to_pages, batch_format="pyarrow"),
-            out_dir,
-            status_col="status",
-            ts_col="ts",
-        )
-        with open(done, "w") as f:
-            f.write("ok")
+    write_warc(
+        docs.map_batches(to_pages, batch_format="pyarrow"),
+        out_dir,
+        status_col="status",
+        ts_col="ts",
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def warc_roundtrip(sf_dir: str):
+    """(url, http_status, warc_ts, n_bytes, digest) — the documents table
+    rendered to sharded ``.warc.gz`` files (``sources/warc.py`` sink: one
+    gzip-member archive per block, written inside the tasks) and read back
+    through the WARC source; proves the archive round-trip byte-exactly
+    against a pure-SQL oracle over the same table (md5/strlen of text)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from scrupyst_ray.sources.warc import read_warc
+
+    out_dir = warc_store(sf_dir)
 
     def project(b: pa.Table) -> pa.Table:
         digests = [
@@ -545,4 +554,44 @@ def warc_roundtrip(sf_dir: str):
         read_warc(out_dir)
         .map_batches(project, batch_format="pyarrow")
         .sort("url")
+    )
+
+
+def cdx_index(sf_dir: str):
+    """(surt, warc_ts, url, http_status, digest) — a CDX-style capture
+    index over the WARC store, keyed by the SURT canonical form
+    (``functions/surt.py``) so one host's captures sort contiguously — how
+    Common Crawl / wayback indexes make a 100 TB archive randomly
+    accessible.  Index rows are computed inside the same per-file parse
+    tasks as the WARC source (payload bytes never leave the task; only the
+    ~100-byte index rows shuffle into the global sort)."""
+    import hashlib
+
+    from scrupyst_ray.functions.surt import surt_batch
+    from scrupyst_ray.sources.warc import read_warc
+
+    out_dir = warc_store(sf_dir)
+
+    def index_rows(b: pa.Table) -> pa.Table:
+        urls = b["url"].to_pylist()
+        return pa.table(
+            {
+                "surt": pa.array(surt_batch(urls), pa.string()),
+                "warc_ts": b["warc_ts"],
+                "url": b["url"],
+                "http_status": b["http_status"],
+                "digest": pa.array(
+                    [
+                        hashlib.md5(body).hexdigest()
+                        for body in b["body"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return (
+        read_warc(out_dir)
+        .map_batches(index_rows, batch_format="pyarrow")
+        .sort(["surt", "warc_ts"])
     )
