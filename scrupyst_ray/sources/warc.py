@@ -121,22 +121,55 @@ def _gzip_member(record: bytes) -> bytes:
     return gzip.compress(record, mtime=0)
 
 
-def parse_warc_bytes(data: bytes, record_types: tuple = ("response",)):
+def _gzip_members(data: bytes):
+    """(offset, length) spans of each gzip member in a multi-member file."""
+    spans, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(31)
+        d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        spans.append((pos, consumed))
+        pos += consumed
+    return spans
+
+
+def parse_warc_bytes(
+    data: bytes,
+    record_types: tuple = ("response",),
+    with_offsets: bool = False,
+):
     """Parse one WARC file's bytes (plain or multi-member gzip) into dict
     rows matching :data:`READ_SCHEMA`.  Tolerant of warcinfo / request /
-    metadata records (skipped unless listed in *record_types*)."""
-    if data[:2] == b"\x1f\x8b":
-        # multi-member gzip: zlib(wbits=31) per member, concatenated
-        out, pos = [], 0
-        while pos < len(data):
-            d = zlib.decompressobj(31)
-            out.append(d.decompress(data[pos:]))
-            consumed = len(data) - pos - len(d.unused_data)
-            if consumed <= 0:
-                break
-            pos += consumed
-        data = b"".join(out)
+    metadata records (skipped unless listed in *record_types*).
 
+    With ``with_offsets=True`` each row also carries ``(offset, length)`` —
+    the byte span in the ORIGINAL file that re-parses standalone (the gzip
+    member for ``.warc.gz``, the record span for plain ``.warc``): exactly
+    what a CDX index stores so :func:`fetch_record` can random-access one
+    capture out of a 100 TB archive."""
+    if data[:2] == b"\x1f\x8b":
+        rows = []
+        for off, ln in _gzip_members(data):
+            member = zlib.decompressobj(31).decompress(
+                data[off : off + ln]
+            )
+            for r, _s, _e in _parse_records(member, record_types):
+                if with_offsets:
+                    r["offset"], r["length"] = off, ln
+                rows.append(r)
+        return rows
+    rows = []
+    for r, s, e in _parse_records(data, record_types):
+        if with_offsets:
+            r["offset"], r["length"] = s, e - s
+        rows.append(r)
+    return rows
+
+
+def _parse_records(data: bytes, record_types: tuple):
+    """Yield (row, start, end) for records in UNCOMPRESSED WARC bytes."""
     rows = []
     pos = 0
     n = len(data)
@@ -145,6 +178,7 @@ def parse_warc_bytes(data: bytes, record_types: tuple = ("response",)):
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         head_end = data.find(_CRLF + _CRLF, pos)
         if head_end < 0:
             raise ValueError("truncated WARC header block")
@@ -175,18 +209,37 @@ def parse_warc_bytes(data: bytes, record_types: tuple = ("response",)):
                 if k.strip().lower() == "content-type":
                     ctype = v.strip()
         rows.append(
-            {
-                "url": hdr.get("warc-target-uri", ""),
-                "warc_ts": _parse_warc_date(hdr["warc-date"]),
-                "warc_type": wtype,
-                "record_id": hdr.get("warc-record-id", ""),
-                "http_status": status,
-                "content_type": ctype,
-                "body": body,
-                "n_bytes": len(body),
-            }
+            (
+                {
+                    "url": hdr.get("warc-target-uri", ""),
+                    "warc_ts": _parse_warc_date(hdr["warc-date"]),
+                    "warc_type": wtype,
+                    "record_id": hdr.get("warc-record-id", ""),
+                    "http_status": status,
+                    "content_type": ctype,
+                    "body": body,
+                    "n_bytes": len(body),
+                },
+                rec_start,
+                pos,
+            )
         )
     return rows
+
+
+def fetch_record(path: str, offset: int, length: int):
+    """Random-access read of ONE capture: seek to the CDX-recorded byte
+    span, read *length* bytes, parse the single member/record — the 100 TB
+    archive access path (no full-file scan)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        chunk = f.read(length)
+    rows = parse_warc_bytes(
+        chunk, record_types=("response", "request", "metadata", "warcinfo")
+    )
+    if len(rows) != 1:
+        raise ValueError(f"span did not contain exactly one record: {len(rows)}")
+    return rows[0]
 
 
 def _rows_to_table(rows: list[dict]) -> pa.Table:
@@ -252,10 +305,56 @@ def write_warc(
 
 
 def read_warc(
-    path: str, record_types: tuple = ("response",)
+    path: str,
+    record_types: tuple = ("response",),
+    with_offsets: bool = False,
 ) -> ray.data.Dataset:
     """Directory (or single file) of ``.warc``/``.warc.gz`` shards →
-    Dataset of :data:`READ_SCHEMA` rows; each file parses inside one task."""
+    Dataset of :data:`READ_SCHEMA` rows; each file parses inside one task.
+    ``with_offsets=True`` appends ``(warc_file, offset, length)`` columns —
+    the :func:`fetch_record` coordinates a CDX index persists."""
+
+    if with_offsets:
+        # read_binary_files force-gunzips on the ``.gz`` extension
+        # (FileBasedDatasource detects compression from the path with no
+        # opt-out), which would make the offsets address the DECOMPRESSED
+        # stream.  CDX offsets must address the stored file, so distribute
+        # over the file LIST (tiny metadata) and read raw bytes in-task.
+        if os.path.isdir(path):
+            paths = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        else:
+            paths = [path]
+
+        def parse_raw(b: pa.Table) -> pa.Table:
+            rows: list[dict] = []
+            for p in b["path"].to_pylist():
+                with open(p, "rb") as f:
+                    data = f.read()
+                got = parse_warc_bytes(data, record_types, True)
+                for r in got:
+                    r["warc_file"] = p
+                rows.extend(got)
+            t = _rows_to_table(rows)
+            for name, typ in (
+                ("warc_file", pa.string()),
+                ("offset", pa.int64()),
+                ("length", pa.int64()),
+            ):
+                t = t.append_column(
+                    name, pa.array([r[name] for r in rows], typ)
+                )
+            return t
+
+        files = ray.data.from_arrow(
+            pa.table({"path": pa.array(paths, pa.string())})
+        )
+        return files.map_batches(
+            parse_raw, batch_format="pyarrow", batch_size=1
+        )
 
     def parse(b: pa.Table) -> pa.Table:
         rows: list[dict] = []

@@ -129,3 +129,50 @@ class TestSinkSource:
             for p in glob.glob(out + "/*.warc.gz")
         }
         assert first == second
+
+
+class TestRandomAccess:
+    def test_cdx_offsets_fetch_single_records(self, ray_session, tmp_path):
+        import ray.data
+
+        from scrupyst_ray.sources.warc import fetch_record
+
+        t = pa.table(
+            {
+                "url": pa.array(
+                    [f"http://h.example/p/{i}" for i in range(40)],
+                    pa.string(),
+                ),
+                "body": pa.array(
+                    [f"payload-{i}".encode() * 3 for i in range(40)],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = str(tmp_path / "w")
+        write_warc(ray.data.from_arrow(t).repartition(3), out)
+        rows = read_warc(out, with_offsets=True).take_all()
+        assert len(rows) == 40
+        for r in rows[:10]:
+            got = fetch_record(r["warc_file"], r["offset"], r["length"])
+            assert got["url"] == r["url"]
+            assert got["body"] == r["body"]
+
+    def test_plain_warc_offsets(self, ray_session, tmp_path):
+        import ray.data
+
+        from scrupyst_ray.sources.warc import fetch_record
+
+        t = pa.table(
+            {
+                "url": pa.array(["http://a/1", "http://a/2"], pa.string()),
+                "body": pa.array([b"one", b"twotwo"], pa.binary()),
+            }
+        )
+        out = str(tmp_path / "w")
+        write_warc(ray.data.from_arrow(t), out, gzip_members=False)
+        rows = read_warc(out, with_offsets=True).take_all()
+        assert len(rows) == 2
+        for r in rows:
+            got = fetch_record(r["warc_file"], r["offset"], r["length"])
+            assert (got["url"], got["body"]) == (r["url"], r["body"])
