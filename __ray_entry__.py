@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": webops.sitemap_entries,
         "warc_roundtrip": webops.warc_roundtrip,
         "cdx_index": webops.cdx_index,
+        "export_jsonl_roundtrip": webops.export_jsonl_roundtrip,
+        "export_csv_roundtrip": webops.export_csv_roundtrip,
         "curation_funnel": report.curation_funnel,
         "host_page_stats": report.host_page_stats,
         "pagerank": graph.pagerank,
@@ -473,6 +475,17 @@ def oracle_sql() -> dict[str, str]:
                        AS INTEGER) AS http_status,
                    md5(text) AS digest
             FROM documents ORDER BY surt, warc_ts
+        """,
+        # feed-export round-trips: filter + fields_to_export rename + batch
+        # rotation through the S4/S5 exporter, read back via ray.data
+        # readers; the oracle recomputes the projection from the source table
+        "export_jsonl_roundtrip": """
+            SELECT doc_id, source, n_chars AS chars
+            FROM documents WHERE n_chars >= 100 ORDER BY doc_id
+        """,
+        "export_csv_roundtrip": """
+            SELECT doc_id, source, n_chars AS chars
+            FROM documents WHERE n_chars >= 100 ORDER BY doc_id
         """,
         "middleware_quality_gate": """
             SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars

@@ -595,3 +595,67 @@ def cdx_index(sf_dir: str):
         .map_batches(index_rows, batch_format="pyarrow")
         .sort(["surt", "warc_ts"])
     )
+
+
+# -- feed-export round-trip (S4/S5 as an oracle-gated query) ---------------
+
+
+def _export_store(sf_dir: str, fmt: str) -> str:
+    """One-time (marker-gated) feed export of a documents projection through
+    the S4/S5 export stage (``stages/export.py``): per-feed item filter
+    (``feedexport.py:57-90``), ``fields_to_export`` rename
+    (``exporters.py:74-110``), and FEED_EXPORT_BATCH_ITEM_COUNT rotation
+    (``feedexport.py:588-652``, = rows-per-file here).  Returns the feed dir."""
+    import shutil
+
+    from scrupyst_ray.stages.export import export_dataset
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    n_docs = docs.count()
+    out_dir = os.path.join(
+        "/tmp",
+        f"scrupyst_feed_v1_{fmt}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}",
+    )
+    done = os.path.join(out_dir, "_FEED_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
+    if os.path.exists(out_dir):  # stale partial write
+        shutil.rmtree(out_dir)
+    export_dataset(
+        docs,
+        out_dir,
+        fmt=fmt,
+        fields={"doc_id": "doc_id", "source": "source", "n_chars": "chars"},
+        item_filter="n_chars >= 100",
+        batch_item_count=128,
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def export_jsonl_roundtrip(sf_dir: str):
+    """(doc_id, source, chars) — the documents table pushed through the
+    JSON-lines feed exporter (filter + rename + batch rotation) and read
+    back via ``ray.data.read_json``; the oracle recomputes the same
+    projection from the source table, proving the export round-trip."""
+    out_dir = _export_store(sf_dir, "jsonl")
+    return (
+        ray.data.read_json(out_dir, file_extensions=["json"])
+        .select_columns(["doc_id", "source", "chars"])
+        .sort("doc_id")
+    )
+
+
+def export_csv_roundtrip(sf_dir: str):
+    """Same round-trip through the CSV feed exporter + ``read_csv``."""
+    out_dir = _export_store(sf_dir, "csv")
+    return (
+        ray.data.read_csv(out_dir, file_extensions=["csv"])
+        .select_columns(["doc_id", "source", "chars"])
+        .sort("doc_id")
+    )

@@ -65,15 +65,27 @@ def export_dataset(
         # binary fingerprints/order keys)
         ds = ds.map_batches(_binary_to_hex, batch_format="pyarrow")
     os.makedirs(path, exist_ok=True)
-    kw = {}
-    if batch_item_count:
-        kw = {"min_rows_per_file": batch_item_count, "max_rows_per_file": batch_item_count}
+
+    def _rotation_kwargs(writer) -> dict:
+        # rows-per-file knobs differ per Ray writer (write_parquet has
+        # min+max, write_json/write_csv only min); pass what each accepts
+        if not batch_item_count:
+            return {}
+        import inspect
+
+        params = inspect.signature(writer).parameters
+        return {
+            k: batch_item_count
+            for k in ("min_rows_per_file", "max_rows_per_file")
+            if k in params
+        }
+
     if fmt == "parquet":
-        ds.write_parquet(path, **kw)
+        ds.write_parquet(path, **_rotation_kwargs(ds.write_parquet))
     elif fmt == "jsonl":
-        ds.write_json(path, **kw)
+        ds.write_json(path, **_rotation_kwargs(ds.write_json))
     elif fmt == "csv":
-        ds.write_csv(path, **kw)
+        ds.write_csv(path, **_rotation_kwargs(ds.write_csv))
     elif fmt == "json":
         _write_single(ds, os.path.join(path, "items.json"), _json_array_bytes)
     elif fmt == "xml":

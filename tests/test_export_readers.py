@@ -305,3 +305,49 @@ class TestXmlReferenceGoldens:
             b"<age><value><name>foo</name></value>"
             b"<value><name>bar</name></value></age>" in got
         )
+
+
+class TestExportRoundtripQueries:
+    """The S4/S5 feed-export round-trip query surface (webops): filter +
+    fields_to_export rename + FEED_EXPORT_BATCH_ITEM_COUNT rotation, read
+    back through ray.data readers and compared to the source projection."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _expected(self):
+        import duckdb
+
+        return duckdb.sql(
+            f"""SELECT doc_id, source, n_chars AS chars
+                FROM read_parquet('{self.SF}/documents.parquet')
+                WHERE n_chars >= 100 ORDER BY doc_id"""
+        ).fetchall()
+
+    def test_jsonl_roundtrip_matches_source(self):
+        from scrupyst_ray.pipelines import webops
+
+        got = [
+            (r["doc_id"], r["source"], r["chars"])
+            for r in webops.export_jsonl_roundtrip(self.SF).take_all()
+        ]
+        assert got == self._expected()
+
+    def test_csv_roundtrip_matches_source(self):
+        from scrupyst_ray.pipelines import webops
+
+        got = [
+            (r["doc_id"], r["source"], r["chars"])
+            for r in webops.export_csv_roundtrip(self.SF).take_all()
+        ]
+        assert got == self._expected()
+
+    def test_batch_rotation_file_count(self):
+        """batch_item_count=128 over ~463 kept rows must rotate into >1
+        file (reference FEED_EXPORT_BATCH_ITEM_COUNT, feedexport.py:588-652)."""
+        import os
+
+        from scrupyst_ray.pipelines import webops
+
+        out_dir = webops._export_store(self.SF, "jsonl")
+        files = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+        assert len(files) > 1
