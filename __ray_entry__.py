@@ -199,6 +199,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": relational.q4_order_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipment_priority": relational.q12_late_shipment_priority,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_rich_customers": relational.q22_idle_rich_customers,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "customer_big_order_counts": relational.customer_big_order_counts,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -672,6 +679,114 @@ def oracle_sql() -> dict[str, str]:
               AND c.c_nationkey = s.s_nationkey
               AND o.o_orderdate >= TIMESTAMP '1997-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q7: two-nation volume shipping — broadcast nation lookups on both
+        # scans, one distributed lineitem⨝orders hash join
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   printf('%.2f',
+                          SUM(l.l_extendedprice * (1 - l.l_discount)))
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+            WHERE s.s_nationkey IN (1, 2) AND c.c_nationkey IN (1, 2)
+              AND s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Q9 (adapted, no partsupp): profit on a part-name pattern per
+        # supplier nation per order year
+        "q9_product_profit": """
+            SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                   printf('%.2f',
+                          SUM(l.l_extendedprice * (1 - l.l_discount)))
+                       AS sum_profit
+            FROM lineitem l
+            JOIN part p     ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        # Q10: top 20 customers by returned-item revenue in one quarter
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name,
+                   printf('%.2f',
+                          SUM(l.l_extendedprice * (1 - l.l_discount)))
+                       AS revenue,
+                   printf('%.2f', c.c_acctbal) AS c_acctbal,
+                   n.n_name
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                     c.c_custkey
+            LIMIT 20
+        """,
+        # Q12 (adapted, no shipmode): late-shipment counts per returnflag
+        # split by order-priority class
+        "q12_late_shipment_priority": """
+            SELECT l_returnflag,
+                   COUNT(*) FILTER (WHERE o_orderpriority
+                       IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+                   COUNT(*) FILTER (WHERE o_orderpriority
+                       NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q18: large-volume orders (HAVING pre-aggregate before any join)
+        "q18_large_volume_customers": """
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   printf('%.2f', o.o_totalprice) AS o_totalprice,
+                   printf('%.2f', q.sum_qty) AS sum_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING SUM(l_quantity) > 250) q
+              ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        # Q21 (adapted): sole late supplier on multi-supplier orders
+        "q21_waiting_suppliers": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       MAX(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+            q AS (SELECT l_orderkey FROM li
+                  GROUP BY 1 HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM li JOIN q USING (l_orderkey)
+            JOIN supplier ON li.l_suppkey = s_suppkey
+            WHERE li.late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+        """,
+        # Q22 (adapted): above-average-balance customers with no recent
+        # order, per nation (scalar-aggregate gate + anti-join)
+        "q22_idle_rich_customers": """
+            SELECT n.n_name, COUNT(*) AS numcust,
+                   printf('%.2f', SUM(c.c_acctbal)) AS totacctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2000-06-01')
             GROUP BY 1 ORDER BY 1
         """,
         # distributed LEFT OUTER join: per-customer count of orders over

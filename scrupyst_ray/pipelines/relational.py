@@ -838,3 +838,516 @@ def q5_local_supplier_volume(
     return out.map_batches(
         lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-pattern additions: each surfaces one distributed-join/agg shape the
+# engine relies on at corpus scale, with a DuckDB-matchable output.
+
+
+def _nation_names(sf_dir: str) -> dict[int, str]:
+    from scrupyst_ray.pipelines.joins import collect_table
+
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    return dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+
+def _map_names(col: pa.ChunkedArray | pa.Array, names: dict[int, str]) -> pa.Array:
+    """Vectorized key→name map for FINAL (post-aggregate, tiny) tables."""
+    keys = pa.array(list(names.keys()), pa.int64())
+    vals = pa.array(list(names.values()), pa.string())
+    idx = pc.index_in(pc.cast(col, pa.int64()), value_set=keys)
+    return pc.take(vals, idx.combine_chunks() if isinstance(idx, pa.ChunkedArray) else idx)
+
+
+def q7_volume_shipping(sf_dir: str, n1: int = 1, n2: int = 2):
+    """TPC-H Q7 shape: revenue shipped between two nations (supplier in one,
+    customer in the other), grouped by (supp_nation, cust_nation, ship year).
+
+    Join plan: supplier→nation is a broadcast lookup folded into the
+    lineitem scan; customer's nationkey attaches onto orders size-selected
+    (:func:`attach_by_key`); the one big⨝big edge — filtered lineitem ⨝
+    filtered orders — is the distributed hash join on the order key.  Both
+    scans drop non-pair nations BEFORE the shuffle, so the join moves only
+    qualifying rows.
+
+    Empty-side guard: an ALL-empty dataset reaches the hash-join
+    aggregator as schema-less blocks and fails (the known Ray Data
+    empty-block behavior the repo's join helpers guard elsewhere); both
+    pair filters derive from tiny dims, so a provably-empty side
+    short-circuits driver-side using counts the size-selected attach needs
+    anyway."""
+    from scrupyst_ray.pipelines.joins import attach_by_key, collect_table, rename
+
+    names = _nation_names(sf_dir)
+    pair64 = pa.array([n1, n2], pa.int64())
+    empty = pa.table(
+        {
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.string()),
+        }
+    )
+
+    supp = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    if (
+        supp.filter(
+            pc.is_in(pc.cast(supp["s_nationkey"], pa.int64()), value_set=pair64)
+        ).num_rows
+        == 0
+    ):
+        return empty
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "cust_nation_key": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        ).filter(
+            pc.is_in(pc.cast(b["c_nationkey"], pa.int64()), value_set=pair64)
+        ),
+        batch_format="pyarrow",
+    )
+    cust_rows = cust.count()
+    if cust_rows == 0:
+        return empty
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = attach_by_key(
+        orders, cust, "o_custkey", "cust_nation_key", side_rows=cust_rows
+    )
+
+    supp_ref = ray.put(
+        (supp["s_suppkey"].combine_chunks(), supp["s_nationkey"].combine_chunks())
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = attach_from_lookup(b, "l_suppkey", "s_nationkey", supp_ref)
+        key = pc.cast(b["s_nationkey"], pa.int64())
+        b = b.append_column("supp_nation_key", key).filter(
+            pc.is_in(key, value_set=pair64)
+        )
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "supp_nation_key": b["supp_nation_key"],
+                "l_year": pc.year(b["l_shipdate"]),
+                "revenue": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    cross = joined.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["supp_nation_key"], t["cust_nation_key"])
+        ).select(["supp_nation_key", "cust_nation_key", "l_year", "revenue"]),
+        batch_format="pyarrow",
+    )
+    out = rename(
+        cross.groupby(["supp_nation_key", "cust_nation_key", "l_year"]).aggregate(
+            Sum("revenue")
+        ),
+        ["supp_nation_key", "cust_nation_key", "l_year", "revenue"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "supp_nation": _map_names(b["supp_nation_key"], names),
+                "cust_nation": _map_names(b["cust_nation_key"], names),
+                "l_year": b["l_year"],
+                "revenue": b["revenue"],
+            }
+        )
+        return _round_cols(b, {"revenue": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def q9_product_profit(sf_dir: str, name_like: str = "red"):
+    """TPC-H Q9 shape (adapted — no partsupp table in the star schema):
+    discounted revenue from parts whose name contains *name_like*, grouped
+    by (supplier nation, order year), year descending.
+
+    The part filter reduces to a broadcast key set pushed into the lineitem
+    scan (``pc.is_in``); supplier→nation folds into the same scan; the
+    big⨝big lineitem ⨝ orders edge (orders carries the year) is the
+    distributed hash join."""
+    from scrupyst_ray.pipelines.joins import collect_table, rename
+
+    names = _nation_names(sf_dir)
+    part = collect_table(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    keep = pc.match_substring(part["p_name"], name_like)
+    pkeys = part.filter(keep)["p_partkey"].combine_chunks()
+    if len(pkeys) == 0:
+        # empty-side guard: no matching part ⇒ provably-empty result (an
+        # all-empty join side would fail in the hash aggregator)
+        return pa.table(
+            {
+                "nation": pa.array([], pa.string()),
+                "o_year": pa.array([], pa.int64()),
+                "sum_profit": pa.array([], pa.string()),
+            }
+        )
+    pkeys_ref = ray.put(pkeys)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_ref = broadcast_lookup(supp, "s_suppkey", "s_nationkey")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=ray.get(pkeys_ref)))
+        b = attach_from_lookup(b, "l_suppkey", "s_nationkey", supp_ref)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "nation_key": pc.cast(b["s_nationkey"], pa.int64()),
+                "profit": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_year": pc.year(b["o_orderdate"])}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    out = rename(
+        joined.map_batches(
+            lambda t: t.select(["nation_key", "o_year", "profit"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["nation_key", "o_year"])
+        .aggregate(Sum("profit")),
+        ["nation_key", "o_year", "sum_profit"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "nation": _map_names(b["nation_key"], names),
+                "o_year": b["o_year"],
+                "sum_profit": b["sum_profit"],
+            }
+        )
+        return _round_cols(b, {"sum_profit": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["nation", "o_year"], descending=[False, True]
+    )
+
+
+def q10_returned_items(
+    sf_dir: str, date_from: str = "1997-01-01", date_to: str = "1997-04-01"
+):
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returned items
+    (``l_returnflag = 'R'``) for orders placed in one quarter.
+
+    Both scans push their predicates into the parquet read (row-group
+    pruning); the orders ⨝ lineitem edge is the distributed hash join; the
+    per-customer aggregate is small, so customer attributes attach onto IT
+    (never the other way round)."""
+    import datetime as dt
+
+    import pyarrow.dataset as pds
+
+    from scrupyst_ray.pipelines.joins import rename
+
+    lo = dt.datetime.fromisoformat(date_from)
+    hi = dt.datetime.fromisoformat(date_to)
+    names = _nation_names(sf_dir)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == "R",
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": pc.multiply(
+                    b["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), b["l_discount"]),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = dist_join(orders, li, "inner", ("o_orderkey",), ("l_orderkey",))
+    per_cust = rename(
+        joined.map_batches(
+            lambda t: t.select(["o_custkey", "revenue"]), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue")),
+        ["o_custkey", "revenue"],
+    )
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    joined2 = dist_join(per_cust, cust, "inner", ("o_custkey",), ("c_custkey",))
+    top = joined2.sort(["revenue", "o_custkey"], descending=[True, False]).limit(20)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "c_custkey": b["o_custkey"],
+                "c_name": b["c_name"],
+                "revenue": b["revenue"],
+                "c_acctbal": b["c_acctbal"],
+                "n_name": _map_names(b["c_nationkey"], names),
+            }
+        )
+        return _round_cols(b, {"revenue": 2, "c_acctbal": 2})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def q12_late_shipment_priority(sf_dir: str, days: int = 90):
+    """TPC-H Q12 shape (adapted — no shipmode column): per returnflag, how
+    many lineitems shipped more than *days* after their order date, split
+    into urgent (1-URGENT / 2-HIGH) and non-urgent order priorities.
+
+    One distributed hash join (lineitem ⨝ orders), then a vectorized
+    conditional before a 3-row groupby — the classic join + conditional
+    aggregate."""
+    from scrupyst_ray.pipelines.joins import rename
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_returnflag"])
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    lateness_us = days * 86_400_000_000
+
+    def classify(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["l_shipdate"], pa.int64()),
+            pc.cast(t["o_orderdate"], pa.int64()),
+        )
+        t = t.filter(pc.greater(gap, pa.scalar(lateness_us, pa.int64())))
+        urgent = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high": pc.if_else(urgent, one, zero),
+                "low": pc.if_else(urgent, zero, one),
+            }
+        )
+
+    return rename(
+        joined.map_batches(classify, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high"), Sum("low")),
+        ["l_returnflag", "high_line_count", "low_line_count"],
+    ).sort("l_returnflag")
+
+
+def q18_large_volume_customers(sf_dir: str, threshold: float = 250.0):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    *threshold*, with the ordering customer, top 100 by order value.
+
+    The HAVING pre-aggregate (lineitem → one quantity row per order) runs
+    BEFORE any join, so the join inputs are one row per qualifying order;
+    customer names attach onto the (small) qualifying set size-selected."""
+    from scrupyst_ray.pipelines.joins import attach_by_key, rename
+
+    qty = rename(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity")),
+        ["l_orderkey", "sum_qty"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    joined = dist_join(orders, qty, "inner", ("o_orderkey",), ("l_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    named = attach_by_key(joined, cust, "o_custkey", "c_name")
+    top = named.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(100)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.select(
+            ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+        )
+        return _round_cols(b, {"o_totalprice": 2, "sum_qty": 2})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def q21_waiting_suppliers(sf_dir: str, days: int = 90, topk: int = 25):
+    """TPC-H Q21 shape (adapted to the star schema's dates): suppliers who
+    were the ONLY late supplier (shipdate > orderdate + *days*) on a
+    multi-supplier order, ranked by how many such orders they held up.
+
+    Decomposition avoids any per-order row loop: lineitem ⨝ orders (the
+    distributed hash join) → groupby (orderkey, suppkey) max(late) →
+    groupby orderkey counts → LEFT SEMI join back the sole-late rows →
+    per-supplier count.  Every stage is a keyed aggregate or join; nothing
+    order-wise ever reaches the driver."""
+    from scrupyst_ray.pipelines.joins import attach_by_key, rename
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    lateness_us = days * 86_400_000_000
+
+    def flag(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["l_shipdate"], pa.int64()),
+            pc.cast(t["o_orderdate"], pa.int64()),
+        )
+        late = pc.cast(
+            pc.greater(gap, pa.scalar(lateness_us, pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "late": late,
+            }
+        )
+
+    per_pair = rename(
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late")),
+        ["l_orderkey", "l_suppkey", "late"],
+    )
+    per_order = rename(
+        per_pair.groupby("l_orderkey").aggregate(Count(), Sum("late")),
+        ["l_orderkey", "n_supp", "n_late"],
+    )
+    qualifying = per_order.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["n_supp"], pa.scalar(2, pa.int64())),
+                pc.equal(b["n_late"], pa.scalar(1, pa.int64())),
+            )
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    sole_late = per_pair.map_batches(
+        lambda b: b.filter(pc.equal(b["late"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    culprit = dist_join(
+        sole_late,
+        rename(qualifying, ["q_orderkey"]),
+        "left_semi",
+        ("l_orderkey",),
+        ("q_orderkey",),
+    )
+    counts = rename(
+        culprit.groupby("l_suppkey").aggregate(Count()),
+        ["l_suppkey", "numwait"],
+    )
+    named = attach_by_key(
+        counts, _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        "l_suppkey", "s_name",
+    )
+    return (
+        named.sort(["numwait", "s_name"], descending=[True, False])
+        .limit(topk)
+        .map_batches(
+            lambda t: t.select(["s_name", "numwait"]), batch_format="pyarrow"
+        )
+    )
+
+
+def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-06-01"):
+    """TPC-H Q22 shape (adapted — every synthetic customer has orders):
+    customers with an above-average account balance and NO order since
+    *cutoff*, counted per nation.
+
+    Pattern: a global scalar aggregate (the mean balance) gates the
+    customer scan; the "no recent order" side is a size-selected anti-join
+    whose drop-set was pre-deduplicated per batch; the result is a tiny
+    per-nation groupby."""
+    import datetime as dt
+
+    import pyarrow.dataset as pds
+
+    from scrupyst_ray.pipelines.joins import anti_join_by_key, rename
+
+    names = _nation_names(sf_dir)
+    cut = dt.datetime.fromisoformat(cutoff)
+
+    avg_bal = _read(sf_dir, "customer", ["c_acctbal"]).mean("c_acctbal")
+
+    rich = _read(
+        sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], pa.scalar(avg_bal))),
+        batch_format="pyarrow",
+    )
+    recent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pds.field("o_orderdate") >= cut,
+    ).map_batches(
+        lambda b: pa.table({"o_custkey": pc.unique(b["o_custkey"])}),
+        batch_format="pyarrow",
+    )
+    idle = anti_join_by_key(rich, recent, "c_custkey")
+    out = rename(
+        idle.map_batches(
+            lambda b: pa.table(
+                {
+                    "nation_key": pc.cast(b["c_nationkey"], pa.int64()),
+                    "c_acctbal": b["c_acctbal"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("nation_key")
+        .aggregate(Count(), Sum("c_acctbal")),
+        ["nation_key", "numcust", "totacctbal"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = pa.table(
+            {
+                "n_name": _map_names(b["nation_key"], names),
+                "numcust": b["numcust"],
+                "totacctbal": b["totacctbal"],
+            }
+        )
+        return _round_cols(b, {"totacctbal": 2})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("n_name")

@@ -183,3 +183,56 @@ class TestQ5Join:
         assert list(
             zip(got["n_name"].to_pylist(), got["revenue"].to_pylist())
         ) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchPatternQueries:
+    """The Q7/Q9/Q10/Q12/Q18/Q21/Q22-shaped queries vs their DuckDB oracles
+    at sf0.001 (q7's nation pair has NO suppliers at this scale, so it also
+    regression-tests the empty-side short-circuit)."""
+
+    NAMES = [
+        "q7_volume_shipping",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q12_late_shipment_priority",
+        "q18_large_volume_customers",
+        "q21_waiting_suppliers",
+        "q22_idle_rich_customers",
+    ]
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_matches_oracle(self, name):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+
+        ours = e.queries()[name](SF).to_pandas()
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')"
+            )
+        theirs = con.execute(e.oracle_sql()[name]).fetchdf()
+        assert len(ours) == len(theirs)
+        assert sorted(ours.columns) == sorted(theirs.columns)
+        a = sorted(ours[sorted(ours.columns)].astype(str).itertuples(index=False, name=None))
+        b = sorted(theirs[sorted(theirs.columns)].astype(str).itertuples(index=False, name=None))
+        assert a == b
+
+    def test_q7_empty_pair_short_circuit(self):
+        """A nation pair with no suppliers anywhere returns the typed empty
+        table instead of feeding an all-empty side to the hash join."""
+        from scrupyst_ray.pipelines.relational import q7_volume_shipping
+
+        out = q7_volume_shipping(SF, n1=1, n2=2)
+        import pyarrow as pa
+
+        assert isinstance(out, pa.Table)
+        assert out.num_rows == 0
+        assert out.column_names == ["supp_nation", "cust_nation", "l_year", "revenue"]
