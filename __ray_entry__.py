@@ -168,6 +168,7 @@ def _q_media_frames(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from scrupyst_ray.pipelines import (
         ann,
+        classify,
         cluster,
         curation,
         dedup,
@@ -230,6 +231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_by_lang_hll": textstats.vocab_by_lang_hll,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
+        # hashed-linear classifier inference (fastText-style stand-in;
+        # deterministic, so the full model is SQL-recomputable)
+        "quality_classifier_scores": classify.quality_classifier_scores,
+        "classifier_label_dist": classify.classifier_label_dist,
         "text_normalize": textprep.text_normalize,
         "pii_scrub": textprep.pii_scrub,
         "stratified_sample": textprep.stratified_sample,
@@ -680,6 +685,62 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1997-01-01'
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        # hashed linear classifier: the oracle RECOMPUTES the model —
+        # unigram+bigram features, weight = (md5-hash % 2001) - 1000,
+        # integer-summed (order-free, exact), so scores hash-match
+        "quality_classifier_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, w[CAST(i AS BIGINT)+1] AS f
+                FROM toks, UNNEST(range(0, len(w))) t(i)
+                UNION ALL
+                SELECT doc_id,
+                       w[CAST(i AS BIGINT)+1] || ' ' ||
+                       w[CAST(i AS BIGINT)+2] AS f
+                FROM toks, UNNEST(range(0, greatest(len(w)-1, 0))) t(i)
+            ),
+            scored AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                       SUM((('0x' || substr(md5(f), 1, 8))::BIGINT % 2001)
+                           - 1000) AS raw
+                FROM feats GROUP BY 1
+            )
+            SELECT doc_id, n_feats,
+                   printf('%.6f',
+                          CAST(raw AS DOUBLE) / (1000.0 * n_feats)) AS score,
+                   CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS label
+            FROM scored ORDER BY doc_id
+        """,
+        "classifier_label_dist": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '\\S+') AS w
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, source, w[CAST(i AS BIGINT)+1] AS f
+                FROM toks, UNNEST(range(0, len(w))) t(i)
+                UNION ALL
+                SELECT doc_id, source,
+                       w[CAST(i AS BIGINT)+1] || ' ' ||
+                       w[CAST(i AS BIGINT)+2] AS f
+                FROM toks, UNNEST(range(0, greatest(len(w)-1, 0))) t(i)
+            ),
+            scored AS (
+                SELECT doc_id, ANY_VALUE(source) AS source,
+                       SUM((('0x' || substr(md5(f), 1, 8))::BIGINT % 2001)
+                           - 1000) AS raw
+                FROM feats GROUP BY 1
+            )
+            SELECT source,
+                   CASE WHEN raw > 0 THEN 'keep' ELSE 'drop' END AS label,
+                   COUNT(*) AS n_docs
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Q7: two-nation volume shipping — broadcast nation lookups on both
         # scans, one distributed lineitem⨝orders hash join
