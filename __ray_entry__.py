@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cookie_session": webops.cookie_session,
         "sitemap_entries": webops.sitemap_entries,
         "warc_roundtrip": webops.warc_roundtrip,
+        "wet_roundtrip": webops.wet_roundtrip,
         "cdx_index": webops.cdx_index,
         "export_jsonl_roundtrip": webops.export_jsonl_roundtrip,
         "export_csv_roundtrip": webops.export_csv_roundtrip,
@@ -1443,6 +1444,17 @@ def oracle_sql() -> dict[str, str]:
         out["decompress_roundtrip"] = f"""
             SELECT url, TRUE AS roundtrip_ok,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
+            FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+        # WET extracted-text archive: html → M12 decode → conversion
+        # records → parse back.  The oracle md5s the corpus parquet's
+        # INDEPENDENT hand-derived text literals (the kernel under test
+        # never produced them), so this gates decode + render + parse.
+        out["wet_roundtrip"] = f"""
+            SELECT url, date_trunc('second', warc_ts) AS warc_ts,
+                   'text/plain' AS content_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
             FROM read_parquet('{corpus_glob}') ORDER BY url
         """
         # PageRank: 5 unrolled power iterations over the persisted

@@ -659,3 +659,77 @@ def export_csv_roundtrip(sf_dir: str):
         .select_columns(["doc_id", "source", "chars"])
         .sort("doc_id")
     )
+
+
+# -- WET extracted-text archive (Common Crawl sidecar format) ---------------
+
+
+def wet_store() -> str:
+    """One-time (marker-gated) WET render of the synthetic page corpus:
+    html → M12 ``extract_text`` (the byte-identical invariant kernel) →
+    ``conversion`` records in sharded ``part-*.warc.wet.gz`` files — the
+    Common Crawl WET-generation pipeline in miniature.  Extraction and
+    rendering happen inside the same tasks; the driver sees only the shard
+    manifest."""
+    from scrupyst_ray.functions.textextract import extract_text_batch
+    from scrupyst_ray.sources.corpus import CORPUS_VERSION
+    from scrupyst_ray.sources.warc import write_wet
+
+    out_dir = os.path.join(
+        "/tmp", f"scrupyst_wet_v{CORPUS_VERSION}_H{_H}_P{_P}"
+    )
+    done = os.path.join(out_dir, "_WET_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
+
+    pages = _pages(columns=["url", "warc_ts", "html"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        out = extract_text_batch(b)
+        return out.select(["url", "warc_ts", "text"])
+
+    write_wet(
+        pages.map_batches(extract, batch_format="pyarrow"),
+        out_dir,
+        ts_col="warc_ts",
+    )
+    with open(done + ".tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + ".tmp", done)
+    return out_dir
+
+
+def wet_roundtrip(sf_dir: str):
+    """(url, warc_ts, content_type, n_bytes, digest) — the WET archive read
+    back through the WARC source (``record_types=("conversion",)``).
+
+    This chains THREE invariants in one oracle-gated query: the M12 decode
+    must be byte-identical to the corpus's independent hand-derived text
+    literals (the oracle md5s the parquet ``text`` column the kernel never
+    saw), the WET render must preserve those bytes exactly, and the parser
+    must recover them (plus second-resolution WARC-Date round-trip)."""
+    import hashlib
+
+    from scrupyst_ray.sources.warc import read_warc
+
+    out_dir = wet_store()
+
+    def project(b: pa.Table) -> pa.Table:
+        digests = [
+            hashlib.md5(body).hexdigest() for body in b["body"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": b["url"],
+                "warc_ts": b["warc_ts"],
+                "content_type": b["content_type"],
+                "n_bytes": b["n_bytes"],
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return (
+        read_warc(out_dir, record_types=("conversion",))
+        .map_batches(project, batch_format="pyarrow")
+        .sort("url")
+    )

@@ -100,6 +100,38 @@ def render_record(
     return _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
 
 
+def render_conversion(
+    url: str,
+    text: bytes,
+    *,
+    ts: dt.datetime | None = None,
+    refers_to: str | None = None,
+) -> bytes:
+    """One WET-style ``conversion`` record (ISO 28500 §6.8; the layout of
+    Common Crawl's ``*.warc.wet.gz`` extracted-text sidecar files):
+    plain-text payload, ``WARC-Refers-To`` linking back to the response
+    record the text was extracted from."""
+    ts = ts or dt.datetime(2025, 1, 1)
+    date = _warc_date(ts)
+    digest = hashlib.sha1(text).hexdigest()
+    headers = [
+        _WARC_VERSION,
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: "
+        + _record_id("conversion:" + url, date).encode("ascii"),
+        b"WARC-Date: " + date.encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("ascii"),
+    ]
+    if refers_to:
+        headers.append(b"WARC-Refers-To: " + refers_to.encode("ascii"))
+    headers += [
+        b"WARC-Payload-Digest: sha1:" + digest.encode("ascii"),
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(text)).encode("ascii"),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + text + _CRLF + _CRLF
+
+
 def render_warcinfo(filename: str) -> bytes:
     """The file-leading warcinfo record (software/format description)."""
     info = b"software: scrupyst-ray/0.2\r\nformat: WARC File Format 1.0\r\n"
@@ -197,7 +229,9 @@ def _parse_records(data: bytes, record_types: tuple):
         wtype = hdr.get("warc-type", "")
         if wtype not in record_types:
             continue
-        status, ctype, body = 0, "", block
+        # non-http records (conversion/warcinfo/metadata) carry the WARC
+        # block Content-Type (e.g. ``text/plain`` for WET conversion rows)
+        status, ctype, body = 0, hdr.get("content-type", ""), block
         if hdr.get("content-type", "").startswith("application/http"):
             split = block.find(_CRLF + _CRLF)
             http_head = block[:split].decode("ascii", "replace")
@@ -304,6 +338,63 @@ def write_warc(
     return collect_table(ds.map_batches(write_block, batch_format="pyarrow"))
 
 
+def write_wet(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    gzip_members: bool = True,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+) -> pa.Table:
+    """Render *ds* to ``part-*.warc.wet[.gz]`` extracted-text shard files
+    (Common Crawl WET layout: a warcinfo record then one ``conversion``
+    record per page) and return the manifest table.  Same scale shape as
+    :func:`write_warc`: rendered inside the tasks, one shard per block,
+    atomic rename, byte-identical re-runs (``mtime=0`` gzip members,
+    content-derived record ids)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    def write_block(b: pa.Table) -> pa.Table:
+        urls = b[url_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        tss = b[ts_col].to_pylist() if ts_col else [None] * len(urls)
+        name = (
+            "part-"
+            + hashlib.md5(
+                f"{urls[0]}\n{len(urls)}".encode("utf-8")
+            ).hexdigest()[:12]
+            + f"-{len(urls)}{ext}"
+        )
+        path = os.path.join(out_dir, name)
+        parts = [render_warcinfo(name)]
+        for u, text, ts in zip(urls, texts, tss):
+            payload = (
+                text if isinstance(text, bytes) else str(text).encode("utf-8")
+            )
+            parts.append(render_conversion(u, payload, ts=ts))
+        if gzip_members:
+            blob = b"".join(_gzip_member(p) for p in parts)
+        else:
+            blob = b"".join(parts)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "records": pa.array([len(urls)], pa.int64()),
+                "bytes": pa.array([len(blob)], pa.int64()),
+            }
+        )
+
+    from scrupyst_ray.pipelines.joins import collect_table
+
+    return collect_table(ds.map_batches(write_block, batch_format="pyarrow"))
+
+
 def read_warc(
     path: str,
     record_types: tuple = ("response",),
@@ -324,7 +415,7 @@ def read_warc(
             paths = sorted(
                 os.path.join(path, f)
                 for f in os.listdir(path)
-                if f.endswith((".warc", ".warc.gz"))
+                if f.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
             )
         else:
             paths = [path]
@@ -362,5 +453,7 @@ def read_warc(
             rows.extend(parse_warc_bytes(data, record_types))
         return _rows_to_table(rows)
 
-    files = ray.data.read_binary_files(path, file_extensions=["warc", "gz"])
+    files = ray.data.read_binary_files(
+        path, file_extensions=["warc", "gz", "wet"]
+    )
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)

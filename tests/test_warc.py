@@ -176,3 +176,88 @@ class TestRandomAccess:
         for r in rows:
             got = fetch_record(r["warc_file"], r["offset"], r["length"])
             assert (got["url"], got["body"]) == (r["url"], r["body"])
+
+
+class TestWet:
+    def test_conversion_record_roundtrip(self):
+        from scrupyst_ray.sources.warc import render_conversion
+
+        text = "Extracted text — π ünïcode\nline two".encode("utf-8")
+        rec = render_conversion(
+            "http://a.example/x",
+            text,
+            ts=dt.datetime(2025, 3, 4, 5, 6, 7),
+            refers_to="<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        )
+        assert b"WARC-Type: conversion" in rec
+        assert b"WARC-Refers-To: <urn:uuid:" in rec
+        # skipped unless asked for; carries the WARC block content type
+        assert parse_warc_bytes(rec) == []
+        r = parse_warc_bytes(rec, record_types=("conversion",))[0]
+        assert r["warc_type"] == "conversion"
+        assert r["content_type"] == "text/plain"
+        assert r["body"] == text
+        assert r["http_status"] == 0
+        assert r["warc_ts"] == dt.datetime(2025, 3, 4, 5, 6, 7)
+
+    def test_wet_sink_source_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from scrupyst_ray.sources.warc import read_warc, write_wet
+
+        texts = [f"doc {i} body with ünïcode №{i}" for i in range(40)]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        [f"http://wet.test/{i}" for i in range(40)], pa.string()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        out = str(tmp_path / "wet")
+        manifest = write_wet(ds, out)
+        assert manifest["records"].to_pylist() and sum(
+            manifest["records"].to_pylist()
+        ) == 40
+        assert all(p.endswith(".warc.wet.gz") for p in manifest["path"].to_pylist())
+
+        back = (
+            read_warc(out, record_types=("conversion",))
+            .sort("url")
+            .to_pandas()
+        )
+        assert len(back) == 40
+        got = {
+            u: b.decode("utf-8")
+            for u, b in zip(back["url"], back["body"])
+        }
+        assert got == {
+            f"http://wet.test/{i}": texts[i] for i in range(40)
+        }
+        assert set(back["content_type"]) == {"text/plain"}
+
+    def test_wet_rewrite_is_byte_identical(self, ray_session, tmp_path):
+        import ray.data
+
+        from scrupyst_ray.sources.warc import write_wet
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(["http://w/1", "http://w/2"], pa.string()),
+                    "text": pa.array(["alpha", "beta"], pa.string()),
+                }
+            )
+        )
+        out = str(tmp_path / "wet")
+        write_wet(ds, out)
+        blobs1 = {
+            p: open(p, "rb").read() for p in glob.glob(out + "/*.warc.wet.gz")
+        }
+        write_wet(ds, out)
+        blobs2 = {
+            p: open(p, "rb").read() for p in glob.glob(out + "/*.warc.wet.gz")
+        }
+        assert blobs1 == blobs2 and blobs1
