@@ -1214,20 +1214,25 @@ def q21_waiting_suppliers(sf_dir: str, days: int = 90, topk: int = 25):
     were the ONLY late supplier (shipdate > orderdate + *days*) on a
     multi-supplier order, ranked by how many such orders they held up.
 
-    Decomposition avoids any per-order row loop: lineitem ⨝ orders (the
-    distributed hash join) → groupby (orderkey, suppkey) max(late) →
-    groupby orderkey counts → LEFT SEMI join back the sole-late rows →
-    per-supplier count.  Every stage is a keyed aggregate or join; nothing
-    order-wise ever reaches the driver."""
-    from scrupyst_ray.pipelines.joins import attach_by_key, rename
+    Decomposition avoids any per-order row loop AND any big⨝big join:
+    orders' (orderkey → orderdate) attaches onto lineitem size-selected
+    (broadcast here, hash join at corpus scale); a MAP-SIDE combiner
+    pre-dedupes (orderkey, suppkey, late) within each batch before the
+    global pair groupby; the per-order stage computes everything in one
+    aggregate — the sole late supplier is recovered algebraically as
+    ``Sum(late·suppkey)`` (exact when ``Sum(late) = 1``), so no join back
+    is needed.  Every stage is a keyed aggregate; nothing order-wise ever
+    reaches the driver."""
     from ray.data.aggregate import Max
+
+    from scrupyst_ray.pipelines.joins import attach_by_key, rename
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    li = attach_by_key(li, orders, "l_orderkey", "o_orderdate")
     lateness_us = days * 86_400_000_000
 
-    def flag(t: pa.Table) -> pa.Table:
+    def flag_and_combine(t: pa.Table) -> pa.Table:
         gap = pc.subtract(
             pc.cast(t["l_shipdate"], pa.int64()),
             pc.cast(t["o_orderdate"], pa.int64()),
@@ -1235,43 +1240,49 @@ def q21_waiting_suppliers(sf_dir: str, days: int = 90, topk: int = 25):
         late = pc.cast(
             pc.greater(gap, pa.scalar(lateness_us, pa.int64())), pa.int64()
         )
-        return pa.table(
+        pairs = pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
                 "l_suppkey": t["l_suppkey"],
                 "late": late,
             }
         )
+        # combiner: one (orderkey, suppkey) row per batch — the global
+        # groupby then shuffles distinct pairs, not lineitems
+        return pairs.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")]
+        )
 
     per_pair = rename(
-        joined.map_batches(flag, batch_format="pyarrow")
+        li.map_batches(flag_and_combine, batch_format="pyarrow")
         .groupby(["l_orderkey", "l_suppkey"])
-        .aggregate(Max("late")),
+        .aggregate(Max("late_max")),
         ["l_orderkey", "l_suppkey", "late"],
     )
+
+    def weight(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "late_supp", pc.multiply(b["late"], b["l_suppkey"])
+        )
+
     per_order = rename(
-        per_pair.groupby("l_orderkey").aggregate(Count(), Sum("late")),
-        ["l_orderkey", "n_supp", "n_late"],
+        per_pair.map_batches(weight, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(), Sum("late"), Sum("late_supp")),
+        ["l_orderkey", "n_supp", "n_late", "late_supp_sum"],
     )
-    qualifying = per_order.map_batches(
-        lambda b: b.filter(
-            pc.and_(
-                pc.greater_equal(b["n_supp"], pa.scalar(2, pa.int64())),
-                pc.equal(b["n_late"], pa.scalar(1, pa.int64())),
-            )
-        ).select(["l_orderkey"]),
+    culprit = per_order.map_batches(
+        lambda b: pa.table(
+            {
+                "l_suppkey": b.filter(
+                    pc.and_(
+                        pc.greater_equal(b["n_supp"], pa.scalar(2, pa.int64())),
+                        pc.equal(b["n_late"], pa.scalar(1, pa.int64())),
+                    )
+                )["late_supp_sum"]
+            }
+        ),
         batch_format="pyarrow",
-    )
-    sole_late = per_pair.map_batches(
-        lambda b: b.filter(pc.equal(b["late"], pa.scalar(1, pa.int64()))),
-        batch_format="pyarrow",
-    )
-    culprit = dist_join(
-        sole_late,
-        rename(qualifying, ["q_orderkey"]),
-        "left_semi",
-        ("l_orderkey",),
-        ("q_orderkey",),
     )
     counts = rename(
         culprit.groupby("l_suppkey").aggregate(Count()),
