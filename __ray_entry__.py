@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": webops.sitemap_entries,
         "warc_roundtrip": webops.warc_roundtrip,
         "wet_roundtrip": webops.wet_roundtrip,
+        "wat_link_counts": webops.wat_link_counts,
         "cdx_index": webops.cdx_index,
         "export_jsonl_roundtrip": webops.export_jsonl_roundtrip,
         "export_csv_roundtrip": webops.export_csv_roundtrip,
@@ -1622,6 +1623,22 @@ def oracle_sql() -> dict[str, str]:
             _edges_cte
             + "SELECT src, dst, anchor, nofollow, link_idx FROM edges"
             " ORDER BY src, link_idx"
+        )
+        # WAT archive: per-page link count + first link recovered from the
+        # JSON metadata records must match the independent edge-grid model
+        out["wat_link_counts"] = (
+            _edges_cte
+            + f""",
+            agg AS (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS n_links,
+                     MIN_BY(dst, link_idx) AS first_link
+              FROM edges GROUP BY 1)
+            SELECT p.url, 'application/json' AS content_type,
+                   COALESCE(a.n_links, 0) AS n_links, a.first_link
+            FROM read_parquet('{corpus_glob}') p
+            LEFT JOIN agg a ON p.url = a.src
+            ORDER BY p.url
+        """
         )
         # referer per extracted edge: all corpus parents are plain http://
         # (no fragment/creds/port), which collapses the policy matrix to

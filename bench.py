@@ -183,7 +183,11 @@ def run_query_bench(sf_dir: str) -> dict:
         "top_terms_by_lang_cms",
         "curation_funnel",
         "warc_roundtrip",
+        "wet_roundtrip",
         "pagerank",
+        "quality_classifier_scores",
+        "q12_late_shipment_priority",
+        "q22_idle_rich_customers",
         # neardup_cluster_sizes is excluded: its exact-Jaccard pair graph at
         # sf0.1 (232k pairs) makes it a ~1 min query — correctness-gated at
         # sf0.01 instead

@@ -733,3 +733,98 @@ def wet_roundtrip(sf_dir: str):
         .map_batches(project, batch_format="pyarrow")
         .sort("url")
     )
+
+
+# -- WAT metadata archive (link graph + envelope as JSON records) -----------
+
+
+def wat_store() -> str:
+    """One-time (marker-gated) WAT render of the synthetic page corpus:
+    html → decode → M14 link extraction → one JSON ``metadata`` record per
+    page (url + ordered extracted links) in sharded ``part-*.warc.wat.gz``
+    files — Common Crawl's WAT generation in miniature.  The JSON is
+    canonical (sorted keys, no whitespace) so shards are byte-identical
+    across re-runs."""
+    import json
+
+    from scrupyst_ray.functions.links import extract_links
+    from scrupyst_ray.functions.textextract import detect_and_decode
+    from scrupyst_ray.sources.corpus import CORPUS_VERSION
+    from scrupyst_ray.sources.warc import write_wat
+
+    out_dir = os.path.join(
+        "/tmp", f"scrupyst_wat_v{CORPUS_VERSION}_H{_H}_P{_P}"
+    )
+    done = os.path.join(out_dir, "_WAT_COMPLETE")
+    if os.path.exists(done):
+        return out_dir
+
+    pages = _pages(columns=["url", "warc_ts", "html"])
+
+    def to_wat(b: pa.Table) -> pa.Table:
+        payloads = []
+        for u, h in zip(b["url"].to_pylist(), b["html"].to_pylist()):
+            enc, text = detect_and_decode(h or b"")
+            links = extract_links(text, u, enc)
+            doc = {
+                "url": u,
+                "links": [
+                    {"href": l.url, "text": l.text, "nofollow": l.nofollow}
+                    for l in links
+                ],
+            }
+            payloads.append(
+                json.dumps(doc, sort_keys=True, separators=(",", ":"))
+            )
+        return pa.table(
+            {
+                "url": b["url"],
+                "warc_ts": b["warc_ts"],
+                "wat_json": pa.array(payloads, pa.string()),
+            }
+        )
+
+    write_wat(
+        pages.map_batches(to_wat, batch_format="pyarrow"),
+        out_dir,
+        ts_col="warc_ts",
+    )
+    with open(done + ".tmp", "w") as f:
+        f.write("ok")
+    os.replace(done + ".tmp", done)
+    return out_dir
+
+
+def wat_link_counts(sf_dir: str):
+    """(url, content_type, n_links, first_link) — the WAT archive read back
+    through the WARC source (``record_types=("metadata",)``), JSON parsed
+    in the same tasks.  SQL-oracle-gated: expected link counts and the
+    first extracted link per page derive from the corpus (host, n) grid —
+    the same independent edge model that gates ``link_edges``."""
+    import json
+
+    from scrupyst_ray.sources.warc import read_warc
+
+    out_dir = wat_store()
+
+    def project(b: pa.Table) -> pa.Table:
+        urls, n_links, first = [], [], []
+        for body in b["body"].to_pylist():
+            doc = json.loads(body)
+            urls.append(doc["url"])
+            n_links.append(len(doc["links"]))
+            first.append(doc["links"][0]["href"] if doc["links"] else None)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "content_type": b["content_type"],
+                "n_links": pa.array(n_links, pa.int64()),
+                "first_link": pa.array(first, pa.string()),
+            }
+        )
+
+    return (
+        read_warc(out_dir, record_types=("metadata",))
+        .map_batches(project, batch_format="pyarrow")
+        .sort("url")
+    )

@@ -132,6 +132,38 @@ def render_conversion(
     return _CRLF.join(headers) + _CRLF + _CRLF + text + _CRLF + _CRLF
 
 
+def render_metadata(
+    url: str,
+    payload: bytes,
+    *,
+    ts: dt.datetime | None = None,
+    refers_to: str | None = None,
+    content_type: str = "application/json",
+) -> bytes:
+    """One WAT-style ``metadata`` record (the layout of Common Crawl's
+    ``*.warc.wat.gz`` sidecar files): a JSON payload describing the
+    response record the metadata was computed from."""
+    ts = ts or dt.datetime(2025, 1, 1)
+    date = _warc_date(ts)
+    digest = hashlib.sha1(payload).hexdigest()
+    headers = [
+        _WARC_VERSION,
+        b"WARC-Type: metadata",
+        b"WARC-Record-ID: "
+        + _record_id("metadata:" + url, date).encode("ascii"),
+        b"WARC-Date: " + date.encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("ascii"),
+    ]
+    if refers_to:
+        headers.append(b"WARC-Refers-To: " + refers_to.encode("ascii"))
+    headers += [
+        b"WARC-Payload-Digest: sha1:" + digest.encode("ascii"),
+        b"Content-Type: " + content_type.encode("ascii"),
+        b"Content-Length: " + str(len(payload)).encode("ascii"),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
 def render_warcinfo(filename: str) -> bytes:
     """The file-leading warcinfo record (software/format description)."""
     info = b"software: scrupyst-ray/0.2\r\nformat: WARC File Format 1.0\r\n"
@@ -281,30 +313,18 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.table(cols, schema=READ_SCHEMA)
 
 
-def write_warc(
-    ds: ray.data.Dataset,
-    out_dir: str,
-    *,
-    gzip_members: bool = True,
-    status_col: str | None = None,
-    ts_col: str | None = None,
-    url_col: str = "url",
-    body_col: str = "body",
-) -> pa.Table:
-    """Render *ds* to ``part-*.warc[.gz]`` shard files under *out_dir*
-    (one per input block, written inside the tasks) and return the manifest
-    table.  File names derive from each block's first url + row count, so a
-    re-run overwrites the same shards byte-identically (resumable)."""
+def _write_shards(ds, out_dir: str, ext: str, url_col: str, render_rows):
+    """Shared archive-sink machinery (WARC/WET/WAT): render each input
+    block to one ``part-*{ext}`` shard file INSIDE the task (atomic tmp +
+    rename), return a tiny manifest table to the driver.  File names derive
+    from each block's first url + row count, so a re-run overwrites the
+    same shards byte-identically (resumable output).  ``render_rows(batch)``
+    returns one rendered record per row."""
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if gzip_members else ".warc"
+    gz = ext.endswith(".gz")
 
     def write_block(b: pa.Table) -> pa.Table:
         urls = b[url_col].to_pylist()
-        bodies = b[body_col].to_pylist()
-        statuses = (
-            b[status_col].to_pylist() if status_col else [200] * len(urls)
-        )
-        tss = b[ts_col].to_pylist() if ts_col else [None] * len(urls)
         name = (
             "part-"
             + hashlib.md5(
@@ -313,11 +333,8 @@ def write_warc(
             + f"-{len(urls)}{ext}"
         )
         path = os.path.join(out_dir, name)
-        parts = [render_warcinfo(name)]
-        for u, body, st, ts in zip(urls, bodies, statuses, tss):
-            body_b = body if isinstance(body, bytes) else str(body).encode()
-            parts.append(render_record(u, body_b, status=int(st), ts=ts))
-        if gzip_members:
+        parts = [render_warcinfo(name)] + render_rows(b)
+        if gz:
             blob = b"".join(_gzip_member(p) for p in parts)
         else:
             blob = b"".join(parts)
@@ -336,6 +353,41 @@ def write_warc(
     from scrupyst_ray.pipelines.joins import collect_table
 
     return collect_table(ds.map_batches(write_block, batch_format="pyarrow"))
+
+
+def write_warc(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    gzip_members: bool = True,
+    status_col: str | None = None,
+    ts_col: str | None = None,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> pa.Table:
+    """Render *ds* to ``part-*.warc[.gz]`` response-record shard files
+    under *out_dir* and return the manifest table (see
+    :func:`_write_shards` for the scale/resume contract)."""
+
+    def render_rows(b: pa.Table) -> list[bytes]:
+        urls = b[url_col].to_pylist()
+        bodies = b[body_col].to_pylist()
+        statuses = (
+            b[status_col].to_pylist() if status_col else [200] * len(urls)
+        )
+        tss = b[ts_col].to_pylist() if ts_col else [None] * len(urls)
+        return [
+            render_record(
+                u,
+                body if isinstance(body, bytes) else str(body).encode(),
+                status=int(st),
+                ts=ts,
+            )
+            for u, body, st, ts in zip(urls, bodies, statuses, tss)
+        ]
+
+    ext = ".warc.gz" if gzip_members else ".warc"
+    return _write_shards(ds, out_dir, ext, url_col, render_rows)
 
 
 def write_wet(
@@ -349,50 +401,55 @@ def write_wet(
 ) -> pa.Table:
     """Render *ds* to ``part-*.warc.wet[.gz]`` extracted-text shard files
     (Common Crawl WET layout: a warcinfo record then one ``conversion``
-    record per page) and return the manifest table.  Same scale shape as
-    :func:`write_warc`: rendered inside the tasks, one shard per block,
-    atomic rename, byte-identical re-runs (``mtime=0`` gzip members,
-    content-derived record ids)."""
-    os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+    record per page) and return the manifest table (scale/resume contract:
+    :func:`_write_shards`)."""
 
-    def write_block(b: pa.Table) -> pa.Table:
+    def render_rows(b: pa.Table) -> list[bytes]:
         urls = b[url_col].to_pylist()
         texts = b[text_col].to_pylist()
         tss = b[ts_col].to_pylist() if ts_col else [None] * len(urls)
-        name = (
-            "part-"
-            + hashlib.md5(
-                f"{urls[0]}\n{len(urls)}".encode("utf-8")
-            ).hexdigest()[:12]
-            + f"-{len(urls)}{ext}"
-        )
-        path = os.path.join(out_dir, name)
-        parts = [render_warcinfo(name)]
-        for u, text, ts in zip(urls, texts, tss):
-            payload = (
-                text if isinstance(text, bytes) else str(text).encode("utf-8")
+        return [
+            render_conversion(
+                u,
+                text if isinstance(text, bytes) else str(text).encode("utf-8"),
+                ts=ts,
             )
-            parts.append(render_conversion(u, payload, ts=ts))
-        if gzip_members:
-            blob = b"".join(_gzip_member(p) for p in parts)
-        else:
-            blob = b"".join(parts)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table(
-            {
-                "path": pa.array([path], pa.string()),
-                "records": pa.array([len(urls)], pa.int64()),
-                "bytes": pa.array([len(blob)], pa.int64()),
-            }
-        )
+            for u, text, ts in zip(urls, texts, tss)
+        ]
 
-    from scrupyst_ray.pipelines.joins import collect_table
+    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+    return _write_shards(ds, out_dir, ext, url_col, render_rows)
 
-    return collect_table(ds.map_batches(write_block, batch_format="pyarrow"))
+
+def write_wat(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    gzip_members: bool = True,
+    url_col: str = "url",
+    json_col: str = "wat_json",
+    ts_col: str | None = None,
+) -> pa.Table:
+    """Render *ds* to ``part-*.warc.wat[.gz]`` metadata shard files (Common
+    Crawl WAT layout: one JSON ``metadata`` record per page — here the
+    extracted link graph and response envelope) and return the manifest
+    table (scale/resume contract: :func:`_write_shards`)."""
+
+    def render_rows(b: pa.Table) -> list[bytes]:
+        urls = b[url_col].to_pylist()
+        payloads = b[json_col].to_pylist()
+        tss = b[ts_col].to_pylist() if ts_col else [None] * len(urls)
+        return [
+            render_metadata(
+                u,
+                p if isinstance(p, bytes) else str(p).encode("utf-8"),
+                ts=ts,
+            )
+            for u, p, ts in zip(urls, payloads, tss)
+        ]
+
+    ext = ".warc.wat.gz" if gzip_members else ".warc.wat"
+    return _write_shards(ds, out_dir, ext, url_col, render_rows)
 
 
 def read_warc(
@@ -415,7 +472,16 @@ def read_warc(
             paths = sorted(
                 os.path.join(path, f)
                 for f in os.listdir(path)
-                if f.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
+                if f.endswith(
+                    (
+                        ".warc",
+                        ".warc.gz",
+                        ".warc.wet",
+                        ".warc.wet.gz",
+                        ".warc.wat",
+                        ".warc.wat.gz",
+                    )
+                )
             )
         else:
             paths = [path]
@@ -454,6 +520,6 @@ def read_warc(
         return _rows_to_table(rows)
 
     files = ray.data.read_binary_files(
-        path, file_extensions=["warc", "gz", "wet"]
+        path, file_extensions=["warc", "gz", "wet", "wat"]
     )
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)

@@ -261,3 +261,54 @@ class TestWet:
             p: open(p, "rb").read() for p in glob.glob(out + "/*.warc.wet.gz")
         }
         assert blobs1 == blobs2 and blobs1
+
+
+class TestWat:
+    def test_metadata_record_roundtrip(self):
+        from scrupyst_ray.sources.warc import render_metadata
+
+        payload = b'{"links":[{"href":"http://b/x"}],"url":"http://a/"}'
+        rec = render_metadata(
+            "http://a/", payload, ts=dt.datetime(2025, 2, 3, 4, 5, 6)
+        )
+        assert b"WARC-Type: metadata" in rec
+        assert parse_warc_bytes(rec) == []  # skipped unless asked for
+        r = parse_warc_bytes(rec, record_types=("metadata",))[0]
+        assert r["warc_type"] == "metadata"
+        assert r["content_type"] == "application/json"
+        assert r["body"] == payload
+        assert r["warc_ts"] == dt.datetime(2025, 2, 3, 4, 5, 6)
+
+    def test_wat_sink_source_roundtrip(self, ray_session, tmp_path):
+        import json
+
+        import ray.data
+
+        from scrupyst_ray.sources.warc import read_warc, write_wat
+
+        docs = [
+            {"url": f"http://wat.test/{i}", "links": [{"href": f"http://wat.test/{i+1}"}]}
+            for i in range(20)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([d["url"] for d in docs], pa.string()),
+                    "wat_json": pa.array(
+                        [json.dumps(d, sort_keys=True) for d in docs],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        out = str(tmp_path / "wat")
+        manifest = write_wat(ds, out)
+        assert sum(manifest["records"].to_pylist()) == 20
+        assert all(p.endswith(".warc.wat.gz") for p in manifest["path"].to_pylist())
+        back = (
+            read_warc(out, record_types=("metadata",)).sort("url").to_pandas()
+        )
+        assert len(back) == 20
+        got = {u: json.loads(b) for u, b in zip(back["url"], back["body"])}
+        assert got == {d["url"]: d for d in docs}
+        assert set(back["content_type"]) == {"application/json"}
