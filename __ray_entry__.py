@@ -207,6 +207,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q22_idle_rich_customers": relational.q22_idle_rich_customers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q8_market_share": relational.q8_market_share,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q19_discounted_revenue": relational.q19_discounted_revenue,
+        "q20_excess_suppliers": relational.q20_excess_suppliers,
         "customers_without_big_orders": relational.customers_without_big_orders,
         "customer_big_order_counts": relational.customer_big_order_counts,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -851,6 +860,165 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >=
                                     TIMESTAMP '2000-06-01')
             GROUP BY 1 ORDER BY 1
+        """,
+        # Q2 (adapted, no PARTSUPP): per-part min lineitem-observed supply
+        # cost among EUROPE suppliers — keyed MIN + equality join back
+        "q2_min_cost_supplier": """
+            WITH offers AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       MIN(l.l_extendedprice) AS supply_cost
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+                  AND r.r_name = 'EUROPE'
+                GROUP BY 1, 2)
+            SELECT printf('%.2f', s.s_acctbal) AS s_acctbal, s.s_name,
+                   n.n_name, o.l_partkey AS p_partkey, p.p_name,
+                   printf('%.2f', o.supply_cost) AS supply_cost
+            FROM offers o
+            JOIN part p ON p.p_partkey = o.l_partkey
+            JOIN supplier s ON s.s_suppkey = o.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE o.supply_cost = (SELECT MIN(o2.supply_cost) FROM offers o2
+                                   WHERE o2.l_partkey = o.l_partkey)
+            ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, o.l_partkey
+            LIMIT 100
+        """,
+        # Q8: nation market share of region-customer revenue per year —
+        # broadcast dimensions + one distributed lineitem⨝orders join
+        "q8_market_share": """
+            WITH base AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS volume,
+                       s.s_nationkey
+                FROM lineitem l
+                JOIN orders o   ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+                JOIN region r   ON cn.n_regionkey = r.r_regionkey
+                JOIN part p     ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   printf('%.6f',
+                          SUM(CASE WHEN s_nationkey =
+                                   (SELECT n_nationkey FROM nation
+                                    WHERE n_name = 'NATION_7')
+                                   THEN volume ELSE 0 END) / SUM(volume))
+                       AS mkt_share
+            FROM base GROUP BY 1 ORDER BY 1
+        """,
+        # Q11 (adapted, no PARTSUPP): parts whose nation-held "stock value"
+        # (lineitem extendedprice via that nation's suppliers) exceeds 1.5×
+        # the mean per-part value — keyed SUM gated by a scalar
+        "q11_important_parts": """
+            WITH per_part AS (
+                SELECT l.l_partkey AS p_partkey,
+                       SUM(l.l_extendedprice) AS value
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE n.n_name = 'NATION_3'
+                GROUP BY 1)
+            SELECT p_partkey, printf('%.2f', value) AS value
+            FROM per_part
+            WHERE value > (SELECT AVG(value) * 1.5 FROM per_part)
+            ORDER BY per_part.value DESC, p_partkey
+        """,
+        # Q13: order-count-per-customer distribution incl. zero-order
+        # customers (LEFT OUTER over a pre-aggregated orders side)
+        "q13_customer_distribution": """
+            WITH counts AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS n
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            SELECT n AS c_count, COUNT(*) AS custdist
+            FROM counts GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Q15: max-revenue supplier(s) in one quarter (view/MAX subquery →
+        # keyed aggregate + driver scalar + filter)
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name,
+                   printf('%.2f', r.total) AS total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE r.total = (SELECT MAX(total) FROM rev)
+            ORDER BY r.s_suppkey
+        """,
+        # Q16 (adapted, no PARTSUPP): distinct-supplier counts per part
+        # attribute triple, excluding negative-balance suppliers
+        "q16_part_supplier_counts": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # Q17: revenue loss from small-quantity orders of one brand
+        # (correlated AVG subquery → two-pass keyed mean + re-stream)
+        "q17_small_quantity_revenue": """
+            SELECT printf('%.2f',
+                          COALESCE(SUM(l.l_extendedprice), 0.0) / 7.0)
+                       AS avg_yearly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#11'
+              AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        # Q19: three OR'd (brand, size, quantity-window) predicates —
+        # the disjunction folds into a partkey→window broadcast map
+        "q19_discounted_revenue": """
+            SELECT printf('%.2f',
+                   COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)),
+                            0.0)) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # Q20 (adapted, no PARTSUPP): nation suppliers who shipped more
+        # than half a red part's lifetime quantity in one year (nested
+        # semi-join chain; quantity sums exact — integer-valued)
+        "q20_excess_suppliers": """
+            WITH shipped AS (
+                SELECT l.l_suppkey, l.l_partkey,
+                       SUM(l.l_quantity) AS qty,
+                       SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                                THEN l.l_quantity ELSE 0 END) AS qty_year
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                WHERE p.p_name LIKE 'red %' AND n.n_name = 'NATION_3'
+                GROUP BY 1, 2)
+            SELECT DISTINCT sh.l_suppkey AS s_suppkey, s.s_name
+            FROM shipped sh JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+            WHERE sh.qty_year > 0.5 * sh.qty
+            ORDER BY s_suppkey
         """,
         # distributed LEFT OUTER join: per-customer count of orders over
         # 400k, zero-count customers included

@@ -1362,3 +1362,768 @@ def q22_idle_rich_customers(sf_dir: str, cutoff: str = "2000-06-01"):
         return _round_cols(b, {"totacctbal": 2})
 
     return out.map_batches(finish, batch_format="pyarrow").sort("n_name")
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion set.  The driver tables have no PARTSUPP, so Q2/Q11/Q16/
+# Q20 are re-grounded on lineitem-derived supply facts (each docstring names
+# the substitution); Q8/Q13/Q15/Q17/Q19 follow the spec shape directly.
+# Float-threshold notes: l_quantity is integer-valued, so quantity sums /
+# means are EXACT doubles on both engines; extendedprice sums are printf-
+# rounded for display and only ever compared across gaps ≫ 1 ulp.
+
+
+def q13_customer_distribution(sf_dir: str, exclude_priority: str = "1-URGENT"):
+    """TPC-H Q13: distribution of per-customer order counts, including
+    zero-order customers (the LEFT OUTER join shape).
+
+    Orders pre-aggregate to one (custkey, count) row BEFORE the join — the
+    outer join moves customer-cardinality rows only — then the histogram is
+    a tiny second groupby."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b["o_orderpriority"], pa.scalar(exclude_priority))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    from scrupyst_ray.pipelines.joins import rename as _rename
+
+    counts = _rename(
+        orders.groupby("o_custkey").aggregate(Count()), ["o_custkey", "n"]
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = dist_join(cust, counts, "left_outer", ("c_custkey",), ("o_custkey",))
+    hist = (
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_count": pc.coalesce(
+                        pc.cast(b["n"], pa.int64()), pa.scalar(0, pa.int64())
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .aggregate(Count())
+    )
+    from scrupyst_ray.pipelines.joins import rename
+
+    return rename(hist, ["c_count", "custdist"]).sort(
+        ["custdist", "c_count"], descending=[True, True]
+    )
+
+
+def q15_top_supplier(sf_dir: str, date_from: str = "1997-01-01"):
+    """TPC-H Q15: the supplier(s) with maximum revenue in one quarter.
+
+    Revenue per supplier is a keyed aggregate (supplier-cardinality rows);
+    the max is a driver scalar over that aggregate; the winners attach their
+    names from the broadcast supplier table.  The view/MAX subquery becomes
+    aggregate → scalar → filter — no self-join."""
+    import datetime as dt
+
+    lo = dt.datetime.fromisoformat(date_from)
+    hi_month = lo.month + 3
+    hi = lo.replace(
+        year=lo.year + (hi_month - 1) // 12, month=(hi_month - 1) % 12 + 1
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi)),
+        )
+        b = b.filter(m)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"s_suppkey": b["l_suppkey"], "revenue": rev})
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("revenue"))
+        .materialize()
+    )
+    best = per_supp.max("sum(revenue)")
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["sum(revenue)"], pa.scalar(best))),
+        batch_format="pyarrow",
+    )
+    from scrupyst_ray.pipelines.joins import attach_by_key
+
+    named = attach_by_key(
+        winners,
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        "s_suppkey",
+        "s_name",
+    )
+    return named.map_batches(
+        lambda b: _round_cols(
+            pa.table(
+                {
+                    "s_suppkey": b["s_suppkey"],
+                    "s_name": b["s_name"],
+                    "total_revenue": b["sum(revenue)"],
+                }
+            ),
+            {"total_revenue": 2},
+        ),
+        batch_format="pyarrow",
+    ).sort("s_suppkey")
+
+
+def q8_market_share(
+    sf_dir: str,
+    ptype: str = "PROMO",
+    nation: str = "NATION_7",
+    region: str = "ASIA",
+):
+    """TPC-H Q8: *nation*'s share of *region*-customer revenue for parts of
+    one type, per order year.
+
+    All dimension edges (part-type keys, supplier nation, customer nation ∈
+    region) broadcast; the single big⨝big edge — filtered lineitem ⨝
+    filtered orders — is the distributed hash join.  The share is a ratio of
+    two per-year sums (one CASE-masked), finished on the 2-row aggregate."""
+    import datetime as dt
+
+    from scrupyst_ray.pipelines.joins import (
+        attach_by_key,
+        collect_table,
+        rename,
+    )
+
+    nat = collect_table(_read(sf_dir, "nation"))
+    reg = collect_table(_read(sf_dir, "region"))
+    rkeys = {
+        k
+        for k, name in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if name == region
+    }
+    region_nat = pa.array(
+        [
+            k
+            for k, rk in zip(
+                nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+            )
+            if rk in rkeys
+        ],
+        pa.int64(),
+    )
+    nation_key = dict(
+        zip(nat["n_name"].to_pylist(), nat["n_nationkey"].to_pylist())
+    )[nation]
+
+    part_keys_t = collect_table(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda b: b.filter(pc.equal(b["p_type"], pa.scalar(ptype))).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    part_keys = ray.put(part_keys_t["p_partkey"].combine_chunks())
+    supp_ref = broadcast_lookup(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey",
+        "s_nationkey",
+    )
+
+    lo = dt.datetime(1996, 1, 1)
+    hi = dt.datetime(1998, 1, 1)
+
+    # region customers' (custkey → nationkey), attached onto 2-year orders
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_in(b["c_nationkey"], value_set=region_nat)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "o_orderkey": f["o_orderkey"],
+                    "o_custkey": f["o_custkey"],
+                    "o_year": pc.year(f["o_orderdate"]),
+                }
+            )
+        )(
+            b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = dist_join(
+        orders,
+        rename(cust, ["__c_custkey"]),
+        "inner",
+        ("o_custkey",),
+        ("__c_custkey",),
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=ray.get(part_keys)))
+        b = attach_from_lookup(b, "l_suppkey", "s_nationkey", supp_ref)
+        vol = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        national = pc.if_else(
+            pc.equal(
+                pc.cast(b["s_nationkey"], pa.int64()),
+                pa.scalar(nation_key, pa.int64()),
+            ),
+            vol,
+            pa.scalar(0.0),
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "volume": vol, "national": national}
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = dist_join(li, orders, "inner", ("l_orderkey",), ("o_orderkey",))
+    agg = (
+        joined.map_batches(
+            lambda t: t.select(["o_year", "volume", "national"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_year")
+        .aggregate(Sum("national"), Sum("volume"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = pc.divide(b["sum(national)"], b["sum(volume)"])
+        return _round_cols(
+            pa.table(
+                {
+                    "o_year": pc.cast(b["o_year"], pa.int64()),
+                    "mkt_share": share,
+                }
+            ),
+            {"mkt_share": 6},
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#11"):
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (quantity < 20% of the part's average) of one brand went unfilled.
+
+    The correlated AVG subquery becomes a two-pass plan: pass 1 is a
+    per-part keyed mean over the brand's lineitems; pass 2 re-streams the
+    same rows, attaches the mean (size-selected join) and sums the
+    qualifying prices.  Quantity means are exact (integer-valued doubles),
+    so the < threshold compare matches SQL bit-for-bit."""
+    from scrupyst_ray.pipelines.joins import attach_by_key, collect_table, rename
+
+    pk = collect_table(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda b: b.filter(pc.equal(b["p_brand"], pa.scalar(brand))).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    keys = ray.put(pk["p_partkey"].combine_chunks())
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["l_partkey"], value_set=ray.get(keys)))
+
+    def li(cols):
+        return _read(sf_dir, "lineitem", cols).map_batches(
+            li_filter, batch_format="pyarrow"
+        )
+
+    avg_qty = rename(
+        li(["l_partkey", "l_quantity"]).groupby("l_partkey").aggregate(
+            Mean("l_quantity")
+        ),
+        ["l_partkey", "avg_qty"],
+    )
+    priced = attach_by_key(
+        li(["l_partkey", "l_quantity", "l_extendedprice"]),
+        avg_qty,
+        "l_partkey",
+        "avg_qty",
+    )
+    small = priced.map_batches(
+        lambda b: b.filter(
+            pc.less(b["l_quantity"], pc.multiply(b["avg_qty"], pa.scalar(0.2)))
+        ).select(["l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    total = small.sum("l_extendedprice")
+    out = pa.table({"avg_yearly": pa.array([(total or 0.0) / 7.0], pa.float64())})
+    return _round_cols(out, {"avg_yearly": 2})
+
+
+# Q19 disjunct grid: (brand, max p_size, qty lo, qty hi) — brands are
+# disjoint so each part maps to at most one quantity window.
+_Q19_DISJUNCTS = [
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#3", 15, 20.0, 30.0),
+]
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19: revenue from three OR'd (brand, size, quantity-window)
+    predicates.
+
+    The disjunction is evaluated ONCE on the part table (driver-side tiny)
+    to produce a partkey → (qty_lo, qty_hi) window map; lineitem then needs
+    a single broadcast lookup + one vectorized between-mask per batch —
+    the OR never touches the big side."""
+    from scrupyst_ray.pipelines.joins import collect_table
+
+    part = collect_table(_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]))
+    pkeys, plo, phi = [], [], []
+    for k, brand, size in zip(
+        part["p_partkey"].to_pylist(),
+        part["p_brand"].to_pylist(),
+        part["p_size"].to_pylist(),
+    ):
+        for b_, smax, qlo, qhi in _Q19_DISJUNCTS:
+            if brand == b_ and 1 <= size <= smax:
+                pkeys.append(k)
+                plo.append(qlo)
+                phi.append(qhi)
+                break
+    ref = ray.put(
+        (
+            pa.array(pkeys, pa.int64()),
+            pa.array(plo, pa.float64()),
+            pa.array(phi, pa.float64()),
+        )
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        keys, lo, hi = ray.get(ref)
+        idx = pc.index_in(b["l_partkey"], value_set=keys)
+        qlo = pc.take(lo, idx)
+        qhi = pc.take(hi, idx)
+        m = pc.and_(
+            pc.greater_equal(b["l_quantity"], qlo),
+            pc.less_equal(b["l_quantity"], qhi),
+        )
+        m = pc.fill_null(m, False)
+        b = b.filter(m)
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"revenue": rev})
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    total = ds.sum("revenue")
+    return _round_cols(
+        pa.table({"revenue": pa.array([total or 0.0], pa.float64())}),
+        {"revenue": 2},
+    )
+
+
+def _supplier_keys_in_region(sf_dir: str, region: str) -> pa.Array:
+    """Suppkeys of suppliers whose nation lies in *region* (dimension-only:
+    supplier/nation/region are all broadcast-sized)."""
+    from scrupyst_ray.pipelines.joins import collect_table
+
+    nat = collect_table(_read(sf_dir, "nation"))
+    reg = collect_table(_read(sf_dir, "region"))
+    rkeys = {
+        k
+        for k, name in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if name == region
+    }
+    nkeys = {
+        k
+        for k, rk in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+        )
+        if rk in rkeys
+    }
+    supp = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    return pa.array(
+        [
+            k
+            for k, nk in zip(
+                supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()
+            )
+            if nk in nkeys
+        ],
+        pa.int64(),
+    )
+
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    size_lo: int = 10,
+    size_hi: int = 20,
+    ptype: str = "LARGE",
+    region: str = "EUROPE",
+):
+    """TPC-H Q2 shape (no PARTSUPP table — supply cost is re-grounded as
+    ``min(l_extendedprice)`` observed per (part, supplier) in lineitem):
+    for each part of one size+type, the *region* supplier(s) offering the
+    minimum cost, ranked by supplier balance.
+
+    The correlated MIN subquery becomes: (part,supp)-keyed MIN aggregate →
+    part-keyed MIN aggregate → size-selected equality join back.  MIN over
+    doubles is order-free, so the equality compare is exact on both
+    engines."""
+    from scrupyst_ray.pipelines.joins import (
+        attach_by_key,
+        collect_table,
+        rename,
+    )
+
+    part = collect_table(
+        _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_type"])
+    )
+    sel = [
+        (k, n)
+        for k, n, s, t in zip(
+            part["p_partkey"].to_pylist(),
+            part["p_name"].to_pylist(),
+            part["p_size"].to_pylist(),
+            part["p_type"].to_pylist(),
+        )
+        if size_lo <= s <= size_hi and t == ptype
+    ]
+    part_keys = ray.put(pa.array([k for k, _ in sel], pa.int64()))
+    part_names = dict(sel)
+    supp_keys = ray.put(_supplier_keys_in_region(sf_dir, region))
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.is_in(b["l_partkey"], value_set=ray.get(part_keys)),
+                pc.is_in(b["l_suppkey"], value_set=ray.get(supp_keys)),
+            )
+        )
+        return b.select(["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    from ray.data.aggregate import Min
+
+    offers = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_prep, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("l_extendedprice"))
+    )
+    offers = rename(offers, ["l_partkey", "l_suppkey", "supply_cost"]).materialize()
+    best = rename(
+        offers.groupby("l_partkey").aggregate(Min("supply_cost")),
+        ["l_partkey", "best_cost"],
+    )
+    winners = attach_by_key(offers, best, "l_partkey", "best_cost").map_batches(
+        lambda b: b.filter(pc.equal(b["supply_cost"], b["best_cost"])).drop_columns(
+            ["best_cost"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    supp = collect_table(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    )
+    nat_names = _nation_names(sf_dir)
+    s_name = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_name"].to_pylist()))
+    s_bal = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_acctbal"].to_pylist()))
+    s_nat = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_pylist()
+        out = pa.table(
+            {
+                "s_acctbal": pa.array([s_bal[k] for k in sk], pa.float64()),
+                "s_name": pa.array([s_name[k] for k in sk], pa.string()),
+                "n_name": pa.array([nat_names[s_nat[k]] for k in sk], pa.string()),
+                "p_partkey": b["l_partkey"],
+                "p_name": pa.array(
+                    [part_names[k] for k in b["l_partkey"].to_pylist()], pa.string()
+                ),
+                "supply_cost": b["supply_cost"],
+                "bal_sort": pa.array(
+                    [-s_bal[k] for k in sk], pa.float64()
+                ),
+            }
+        )
+        return out
+
+    out = (
+        winners.map_batches(finish, batch_format="pyarrow")
+        .sort(["bal_sort", "n_name", "s_name", "p_partkey"])
+        .limit(100)
+    )
+    return out.map_batches(
+        lambda b: _round_cols(
+            b.drop_columns(["bal_sort"]), {"s_acctbal": 2, "supply_cost": 2}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q11_important_parts(
+    sf_dir: str, nation: str = "NATION_3", mult: float = 1.5
+):
+    """TPC-H Q11 shape (no PARTSUPP — a part's "stock value" held by
+    *nation* is re-grounded as the sum of that nation's suppliers' lineitem
+    extendedprice for the part): parts whose value exceeds *mult* × the
+    nation's MEAN per-part value (spec uses a fixed fraction of the total,
+    which degenerates to ∅ as part count grows; the mean-multiple keeps the
+    heavy-tail semantics scale-invariant).
+
+    The HAVING > scalar-subquery becomes a part-keyed SUM aggregate gated by
+    a driver scalar (the same aggregate averaged once more)."""
+    from scrupyst_ray.pipelines.joins import collect_table, rename
+
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nkey = dict(zip(nat["n_name"].to_pylist(), nat["n_nationkey"].to_pylist()))[
+        nation
+    ]
+    supp = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    skeys = ray.put(
+        pa.array(
+            [
+                k
+                for k, nk in zip(
+                    supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()
+                )
+                if nk == nkey
+            ],
+            pa.int64(),
+        )
+    )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.is_in(b["l_suppkey"], value_set=ray.get(skeys))
+            ).select(["l_partkey", "l_extendedprice"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("l_extendedprice"))
+    )
+    per_part = rename(per_part, ["p_partkey", "value"]).materialize()
+    cut = (per_part.mean("value") or 0.0) * mult
+    out = per_part.map_batches(
+        lambda b: b.filter(pc.greater(b["value"], pa.scalar(cut))),
+        batch_format="pyarrow",
+    ).sort(["value", "p_partkey"], descending=[True, False])
+    return out.map_batches(
+        lambda b: _round_cols(b, {"value": 2}), batch_format="pyarrow"
+    )
+
+
+def q16_part_supplier_counts(
+    sf_dir: str,
+    exclude_brand: str = "Brand#5",
+    exclude_type: str = "PROMO",
+    sizes: tuple = (1, 5, 9, 13, 17, 21, 25, 29),
+):
+    """TPC-H Q16 shape (no PARTSUPP — "can supply" is re-grounded as "has a
+    lineitem for the part"): distinct supplier counts per (brand, type,
+    size) over filtered parts, excluding negative-balance suppliers (the
+    "customer complaints" NOT IN analog).
+
+    COUNT(DISTINCT) distributes as: dedup (brand,type,size,suppkey) keys via
+    a first groupby (per-batch combiners shrink the shuffle), then a COUNT
+    per (brand,type,size)."""
+    from scrupyst_ray.pipelines.joins import collect_table, rename
+
+    part = collect_table(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    )
+    size_set = set(sizes)
+    sel = {
+        k: (b_, t, s)
+        for k, b_, t, s in zip(
+            part["p_partkey"].to_pylist(),
+            part["p_brand"].to_pylist(),
+            part["p_type"].to_pylist(),
+            part["p_size"].to_pylist(),
+        )
+        if b_ != exclude_brand and t != exclude_type and s in size_set
+    }
+    pk = ray.put(pa.array(list(sel), pa.int64()))
+    supp = collect_table(_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]))
+    bad = ray.put(
+        pa.array(
+            [
+                k
+                for k, bal in zip(
+                    supp["s_suppkey"].to_pylist(), supp["s_acctbal"].to_pylist()
+                )
+                if bal < 0
+            ],
+            pa.int64(),
+        )
+    )
+    attrs = ray.put(
+        (
+            pa.array(list(sel), pa.int64()),
+            pa.array([v[0] for v in sel.values()], pa.string()),
+            pa.array([v[1] for v in sel.values()], pa.string()),
+            pa.array([v[2] for v in sel.values()], pa.int32()),
+        )
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(b["l_partkey"], value_set=ray.get(pk)),
+            pc.invert(pc.is_in(b["l_suppkey"], value_set=ray.get(bad))),
+        )
+        b = b.filter(m)
+        keys, brands, types, sz = ray.get(attrs)
+        idx = pc.index_in(b["l_partkey"], value_set=keys)
+        t = pa.table(
+            {
+                "p_brand": pc.take(brands, idx),
+                "p_type": pc.take(types, idx),
+                "p_size": pc.cast(pc.take(sz, idx), pa.int64()),
+                "s_suppkey": b["l_suppkey"],
+            }
+        )
+        # per-batch combiner: distinct quads only leave the task
+        return t.group_by(["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate([])
+
+    quads = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .aggregate(Count())
+    )
+    counts = (
+        quads.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count())
+    )
+    return rename(
+        counts, ["p_brand", "p_type", "p_size", "supplier_cnt"]
+    ).sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
+def q20_excess_suppliers(
+    sf_dir: str, color: str = "red", nation: str = "NATION_3", year: int = 1997
+):
+    """TPC-H Q20 shape (no PARTSUPP — "excess availability" is re-grounded
+    on shipment history): *nation* suppliers who, for some part named
+    ``<color> …``, shipped more than half their lifetime quantity of that
+    part during *year* alone.
+
+    The nested semi-join chain distributes as: partkey broadcast filter →
+    (supp, part)-keyed twin SUM aggregate (lifetime + CASE-masked year) →
+    ratio filter (exact: integer-valued quantities) → distinct-suppkey
+    semi-join against the nation's broadcast supplier list."""
+    import datetime as dt
+
+    from scrupyst_ray.pipelines.joins import collect_table, rename
+
+    part = collect_table(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    pk = ray.put(
+        pa.array(
+            [
+                k
+                for k, n in zip(
+                    part["p_partkey"].to_pylist(), part["p_name"].to_pylist()
+                )
+                if n.startswith(color + " ")
+            ],
+            pa.int64(),
+        )
+    )
+    nat = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nkey = dict(zip(nat["n_name"].to_pylist(), nat["n_nationkey"].to_pylist()))[
+        nation
+    ]
+    supp = collect_table(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    )
+    nation_supp = {
+        k: n
+        for k, n, nk in zip(
+            supp["s_suppkey"].to_pylist(),
+            supp["s_name"].to_pylist(),
+            supp["s_nationkey"].to_pylist(),
+        )
+        if nk == nkey
+    }
+    nation_keys = ray.put(pa.array(list(nation_supp), pa.int64()))
+    lo = dt.datetime(year, 1, 1)
+    hi = dt.datetime(year + 1, 1, 1)
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(b["l_partkey"], value_set=ray.get(pk)),
+            pc.is_in(b["l_suppkey"], value_set=ray.get(nation_keys)),
+        )
+        b = b.filter(m)
+        in_year = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi)),
+        )
+        return pa.table(
+            {
+                "l_suppkey": b["l_suppkey"],
+                "l_partkey": b["l_partkey"],
+                "qty": b["l_quantity"],
+                "qty_year": pc.if_else(in_year, b["l_quantity"], pa.scalar(0.0)),
+            }
+        )
+
+    per_sp = (
+        _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Sum("qty"), Sum("qty_year"))
+    )
+    excess = per_sp.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["sum(qty_year)"], pc.multiply(b["sum(qty)"], pa.scalar(0.5)))
+        ).select(["l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    distinct = excess.groupby("l_suppkey").aggregate(Count())
+
+    def finish(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_pylist()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pa.array([nation_supp[k] for k in sk], pa.string()),
+            }
+        )
+
+    return distinct.map_batches(finish, batch_format="pyarrow").sort("s_suppkey")

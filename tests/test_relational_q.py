@@ -199,6 +199,17 @@ class TestTpchPatternQueries:
         "q18_large_volume_customers",
         "q21_waiting_suppliers",
         "q22_idle_rich_customers",
+        # TPC-H completion set (Q2/Q11/Q16/Q20 re-grounded on lineitem —
+        # the driver tables have no PARTSUPP; see each docstring)
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q11_important_parts",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
+        "q20_excess_suppliers",
     ]
 
     @pytest.mark.parametrize("name", NAMES)
