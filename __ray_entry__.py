@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
         "request_headers": webops.request_headers,
+        "httpcache_decisions": webops.httpcache_decisions,
         "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
@@ -1878,5 +1879,53 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN url LIKE 'http://host001.test/%' THEN NULL
                    ELSE 'Basic dXNlcjpwYXNz' END AS proxy_authorization
             FROM read_parquet('{corpus_glob}') ORDER BY url
+        """
+        # S7 RFC2616 cache policy: the Ray kernel PARSES synthesized header
+        # strings; the oracle re-derives every decision from the same
+        # doc_id grid (status/cc/validator cycles), so parse + branch order
+        # are both gated.  now = Date + 90 s; Expires = Date + 120 s;
+        # Last-Modified = Date - 1000 s (heuristic lifetime 100 s).
+        out["httpcache_decisions"] = """
+            WITH g AS (
+                SELECT doc_id,
+                       doc_id % 8 AS si,
+                       (doc_id // 8) % 5 AS rc,
+                       (doc_id // 120) % 4 AS qc,
+                       (doc_id // 40) % 3 AS ev,
+                       doc_id % 2 = 0 AS has_etag,
+                       (doc_id // 60) % 2 = 1 AS has_age
+                FROM documents),
+            s AS (
+                SELECT *,
+                       CASE si WHEN 0 THEN 200 WHEN 1 THEN 203
+                               WHEN 2 THEN 301 WHEN 3 THEN 304
+                               WHEN 4 THEN 404 WHEN 5 THEN 500
+                               WHEN 6 THEN 401 ELSE 300 END AS status
+                FROM g),
+            d AS (
+                SELECT doc_id, status, rc, qc,
+                       CASE WHEN rc = 1 THEN FALSE
+                            WHEN status = 304 THEN FALSE
+                            WHEN rc = 2 THEN TRUE
+                            WHEN ev = 0 THEN TRUE
+                            WHEN status IN (300, 301) THEN TRUE
+                            WHEN status IN (200, 203, 401)
+                                 THEN (ev = 1 OR has_etag)
+                            ELSE FALSE END AS should_cache,
+                       CASE WHEN rc = 2 THEN 600.0
+                            WHEN ev = 0 THEN 120.0
+                            WHEN ev = 1 THEN 100.0
+                            WHEN status IN (300, 301) THEN 31536000.0
+                            ELSE 0.0 END AS lifetime,
+                       CASE WHEN has_age THEN 200.0 ELSE 90.0 END AS age
+                FROM s)
+            SELECT doc_id, status, should_cache, lifetime, age,
+                   CASE WHEN rc = 3 OR qc = 1 THEN FALSE
+                        WHEN age < (CASE WHEN qc = 2
+                                         THEN least(lifetime, 60.0)
+                                         ELSE lifetime END) THEN TRUE
+                        WHEN qc = 3 THEN TRUE
+                        ELSE FALSE END AS fresh
+            FROM d ORDER BY doc_id
         """
     return out

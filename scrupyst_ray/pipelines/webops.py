@@ -828,3 +828,77 @@ def wat_link_counts(sf_dir: str):
         .map_batches(project, batch_format="pyarrow")
         .sort("url")
     )
+
+
+def httpcache_decisions(sf_dir: str):
+    """S7 HTTP-cache policy: RFC2616 store/freshness decisions over a
+    deterministic header grid keyed by ``doc_id``.
+
+    Each row synthesizes the full header tuple (status, response/request
+    Cache-Control, Date, Expires, Last-Modified, ETag, Age) from modular
+    arithmetic on ``doc_id``; the kernel then PARSES those real header
+    strings and applies the reference policy (`httpcache.py:91-245`), and
+    the SQL oracle re-derives the expected decisions from the same grid —
+    so parsing + branch order are gated end-to-end.  ``now`` is pinned 90 s
+    after the Date header (decisions must be a pure function of the row for
+    resumable refetch sweeps)."""
+    from scrupyst_ray.functions.httpcachepolicy import cache_policy_batch
+
+    _DATE = "Sun, 01 Jun 1997 08:30:00 GMT"
+    _EXPIRES = "Sun, 01 Jun 1997 08:32:00 GMT"  # Date + 120 s
+    _LASTMOD = "Sun, 01 Jun 1997 08:13:20 GMT"  # Date - 1000 s
+    _STATUS = [200, 203, 301, 304, 404, 500, 401, 300]
+    _RESP_CC = [None, "no-store", "max-age=600", "no-cache, must-revalidate", "public"]
+    _REQ_CC = [None, "no-cache", "max-age=60", "max-stale"]
+
+    from scrupyst_ray.functions.httpmeta import rfc1123_to_epoch
+
+    now = float(rfc1123_to_epoch(_DATE) + 90)
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "status": pa.array(
+                    [_STATUS[n % 8] for n in ids], pa.int64()
+                ),
+                "resp_cc": pa.array(
+                    [_RESP_CC[(n // 8) % 5] for n in ids], pa.string()
+                ),
+                "req_cc": pa.array(
+                    [_REQ_CC[(n // 120) % 4] for n in ids], pa.string()
+                ),
+                "date": pa.array([_DATE] * len(ids), pa.string()),
+                "expires": pa.array(
+                    [_EXPIRES if (n // 40) % 3 == 0 else None for n in ids],
+                    pa.string(),
+                ),
+                "last_modified": pa.array(
+                    [_LASTMOD if (n // 40) % 3 == 1 else None for n in ids],
+                    pa.string(),
+                ),
+                "etag": pa.array(
+                    [f'"etag-{n}"' if n % 2 == 0 else None for n in ids],
+                    pa.string(),
+                ),
+                "age_header": pa.array(
+                    ["200" if (n // 60) % 2 == 1 else None for n in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(
+            lambda b: cache_policy_batch(b, now), batch_format="pyarrow"
+        )
+        .select_columns(
+            ["doc_id", "status", "should_cache", "lifetime", "age", "fresh"]
+        )
+        .sort("doc_id")
+    )
