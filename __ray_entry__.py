@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster,
         curation,
         dedup,
+        dsir,
         graph,
         lm,
         relational,
@@ -234,6 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "bigram_lm_ppl": lm.bigram_lm_ppl,
         "lm_ppl_by_source": lm.lm_ppl_by_source,
+        # DSIR importance weights (Xie et al. '23) — md5-hashed uni+bigram
+        # features, so the full model is SQL-recomputable
+        "dsir_logweights": dsir.dsir_logweights,
+        "dsir_by_lang": dsir.dsir_by_lang,
+        "dsir_top_docs": dsir.dsir_top_docs,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,
         "vocab_by_lang": textstats.vocab_by_lang,
@@ -311,6 +317,35 @@ _SW = (
     "the a an and or of to in is are was were be been it this that for on with"
     " as at by from not have has had but they you we he she"
 ).split()
+
+# shared CTE prologue for the DSIR oracles (scrupyst_ray/pipelines/dsir.py):
+# md5-bucketed uni+bigram features, per-bucket target/raw counts, Laplace
+# log-ratio λ, per-doc Σ c_b·λ_b.  Bucket ids match hashlib md5 exactly.
+_DSIR_DOC_CTE = """
+    WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, lang, UNNEST(ws) AS g FROM w
+          UNION ALL
+          SELECT doc_id, lang,
+                 UNNEST([ws[i] || ' ' || ws[i+1]
+                         for i in range(1, len(ws))]) AS g
+          FROM w),
+    f AS (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 10000
+                     AS bucket
+          FROM g),
+    bc AS (SELECT bucket,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_n,
+                  SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_n
+           FROM f GROUP BY bucket),
+    tot AS (SELECT SUM(t_n) AS tt, SUM(r_n) AS rr FROM bc),
+    lam AS (SELECT bucket,
+                   ln((t_n + 1.0) / (tt + 10000.0))
+                       - ln((r_n + 1.0) / (rr + 10000.0)) AS l
+            FROM bc, tot),
+    doc AS (SELECT f.doc_id, COUNT(*) AS n_feats, SUM(lam.l) AS logw
+            FROM f JOIN lam USING (bucket) GROUP BY f.doc_id)
+"""
 
 # shared CTE prologues for the curation oracles (scrupyst_ray/pipelines/
 # curation.py): 5-word segments with first-occurrence keys, and the
@@ -1276,6 +1311,25 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.4f', AVG(p.ppl)) AS avg_ppl
             FROM p JOIN documents d USING (doc_id)
             GROUP BY d.source ORDER BY d.source
+        """,
+        # DSIR (Xie et al. '23): hashed uni+bigram features (md5 → bucket),
+        # target = lang='en', add-one smoothing on both distributions;
+        # logw(doc) = Σ_b c_b(doc)·(ln p̂_b − ln q̂_b)
+        "dsir_logweights": _DSIR_DOC_CTE + """
+            SELECT doc_id, n_feats, printf('%.4f', logw) AS logw
+            FROM doc ORDER BY doc_id
+        """,
+        "dsir_by_lang": _DSIR_DOC_CTE + """
+            SELECT d.lang, COUNT(*) AS n_docs,
+                   printf('%.4f', AVG(doc.logw)) AS avg_logw
+            FROM doc JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "dsir_top_docs": _DSIR_DOC_CTE + """
+            SELECT doc_id, printf('%.4f', round(logw, 4)) AS logw
+            FROM doc
+            ORDER BY round(logw, 4) DESC, doc_id
+            LIMIT 50
         """,
         # top-5 tf-idf tokens per doc (score = tf × ln(N/df), %.4f strings)
         "tfidf_top_terms": """
