@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "jaccard_allpairs_exact": dedup.jaccard_allpairs_exact,
+        "jaccard_dedup_keep": dedup.jaccard_dedup_keep,
         "jaccard_pairs_by_source": dedup.jaccard_pairs_by_source,
         "neardup_clusters": cluster.neardup_clusters,
         "neardup_cluster_sizes": cluster.neardup_cluster_sizes,
@@ -317,6 +319,33 @@ _SW = (
     "the a an and or of to in is are was were be been it this that for on with"
     " as at by from not have has had but they you we he she"
 ).split()
+
+# shared CTE prologue for the exact-Jaccard oracles (pipelines/dedup.py
+# jaccard_allpairs_exact): distinct 3-token shingles per doc (<3 tokens →
+# the whole text as one shingle, '' for empty), df-capped universe
+# (df ≤ 64), inverted-index self-join intersection counts
+_JACCARD_EXACT_CTE = """
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+               FROM documents),
+    s0 AS (SELECT doc_id,
+                  UNNEST([array_to_string(ws[i:i+2], ' ')
+                          for i in range(1, len(ws) - 1)]) AS sh
+           FROM w WHERE len(ws) >= 3
+           UNION ALL
+           SELECT doc_id, array_to_string(ws, ' ') AS sh
+           FROM w WHERE len(ws) < 3),
+    sh AS (SELECT DISTINCT doc_id, sh FROM s0),
+    keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 64),
+    u AS (SELECT s.doc_id, s.sh FROM sh s JOIN keepsh USING (sh)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+    pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+           FROM u x JOIN u y USING (sh)
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+    j AS (SELECT a, b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+          FROM pr
+          JOIN sz sa ON sa.doc_id = pr.a
+          JOIN sz sb ON sb.doc_id = pr.b)
+"""
 
 # shared CTE prologue for the DSIR oracles (scrupyst_ray/pipelines/dsir.py):
 # md5-bucketed uni+bigram features, per-bucket target/raw counts, Laplace
@@ -630,6 +659,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        # exact k=3-shingle Jaccard over the df≤64 universe; identical int
+        # intersection/size counts ⇒ identical IEEE division both sides
+        "jaccard_allpairs_exact": _JACCARD_EXACT_CTE + """
+            SELECT a, b, printf('%.4f', jac) AS jaccard
+            FROM j WHERE jac >= 0.4 ORDER BY a, b
+        """,
+        "jaccard_dedup_keep": _JACCARD_EXACT_CTE + """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM j WHERE jac >= 0.4)
+            ORDER BY doc_id
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -384,3 +384,122 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
         )
 
     return withtext.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+
+
+# -- exact all-pairs shingle Jaccard (inverted index, df-capped) ----------------
+
+
+def _shingle_universe(sf_dir: str, k: int, max_df: int):
+    """(shf, sizes): the df-capped shingle universe and per-doc set sizes.
+
+    shf — one row per distinct (doc_id, shingle-hash) whose shingle occurs
+    in at most *max_df* documents (shingles more common than that are
+    stopword-grade and carry no dedup signal — the standard df cut that also
+    bounds the inverted-index group size, hence pair fan-out, at scale).
+    sizes — (doc_id, nsh) distinct-shingle counts over that same universe."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        parts: list[np.ndarray] = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            hs = shingle_hashes(t, k).view(np.int64)  # already distinct
+            ids.extend([d] * len(hs))
+            parts.append(hs)
+        sh = np.concatenate(parts) if parts else np.array([], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+            }
+        )
+
+    sh = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+    # document frequency per shingle (rows are distinct per doc)
+    dfc = _rename(
+        sh.groupby("sh", num_partitions=_parts()).count(), ["sh", "df"]
+    )
+    shf = (
+        _attach_by_key(sh, dfc, "sh", "df")
+        .filter(expr=f"df <= {max_df}")
+        .select_columns(["doc_id", "sh"])
+        .materialize()
+    )
+    sizes = _rename(
+        shf.groupby("doc_id", num_partitions=_parts()).count(),
+        ["doc_id", "nsh"],
+    ).materialize()
+    return shf, sizes
+
+
+def jaccard_allpairs_exact(
+    sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
+):
+    """(a, b, jaccard) — EXACT k-shingle Jaccard for every document pair
+    with j ≥ threshold, via a distributed shingle inverted index (no LSH,
+    no estimate): explode docs to distinct shingle hashes, drop shingles
+    with document frequency > max_df, emit pairs per shingle group, count
+    common shingles with one (a,b)-keyed groupby, attach set sizes with two
+    hash joins.  j = |∩| / (|a| + |b| − |∩|) over the df-capped universe.
+
+    Scale shape: the shuffle payload is (8-byte hash, 8-byte doc_id) rows —
+    text never moves; per-group pair fan-out is bounded by max_df²/2; the
+    (a,b) count groupby sees only co-shingle pairs, not n².  Exactness
+    rests on blake2b-64 shingle-hash collision-freedom (same trade as the
+    md5 exact-dedup path)."""
+    shf, sizes = _shingle_universe(sf_dir, k, max_df)
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        a: np.ndarray | list = []
+        b: np.ndarray | list = []
+        if len(ids) > 1:  # group size ≤ max_df by construction
+            iu, ju = np.triu_indices(len(ids), 1)
+            a, b = ids[iu], ids[ju]
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    inter = _rename(
+        shf.groupby("sh", num_partitions=_parts())
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=_parts())
+        .count(),
+        ["a", "b", "inter"],
+    )
+    j = _attach_by_key(
+        _attach_by_key(inter, sizes, "a", "na"), sizes, "b", "nb"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        inter_n = b["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter_n / (na + nb - inter_n)
+        keep = jac >= threshold
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "a": b["a"].combine_chunks().filter(mask),
+                "b": b["b"].combine_chunks().filter(mask),
+                "jaccard": pa.array(
+                    [f"{v:.4f}" for v in jac[keep]], pa.string()
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow").sort(["a", "b"])
+
+
+def jaccard_dedup_keep(
+    sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
+):
+    """(doc_id) kept after exact-Jaccard dedup: drop every doc that appears
+    as the HIGHER id of a j ≥ threshold pair (first-wins by doc_id — the
+    deterministic keep rule shared with minhash_dedup_keep, here fully
+    SQL-checkable because the pair set is exact).  Distributed anti-join;
+    the drop set never lands on the driver past the broadcast threshold."""
+    pairs = jaccard_allpairs_exact(sf_dir, k, threshold, max_df)
+    drops = pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    docs = _docs(sf_dir, ["doc_id"])
+    return _anti_join(docs, drops, "doc_id").sort("doc_id")

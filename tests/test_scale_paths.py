@@ -49,6 +49,14 @@ class TestForcedDistributedJoins:
         default = _rows(ngram_jaccard_pairs(SF))
         assert forced == default and len(forced) > 0
 
+    def test_jaccard_allpairs_exact_identical(self, force_distributed):
+        from scrupyst_ray.pipelines.dedup import jaccard_allpairs_exact
+
+        forced = _rows(jaccard_allpairs_exact(SF))
+        force_distributed.BROADCAST_MAX_ROWS = 200_000
+        default = _rows(jaccard_allpairs_exact(SF))
+        assert forced == default and len(forced) > 0
+
     def test_neardup_cluster_sizes_identical(self, force_distributed):
         from scrupyst_ray.pipelines.cluster import neardup_cluster_sizes
 
