@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cluster_sizes": ann.embedding_cluster_sizes,
         "cluster_balanced_sample": ann.cluster_balanced_sample,
         "embedding_neardup": ann.embedding_neardup_pairs,
+        # SemDeDup (Abbas et al. '23): k-means + within-cluster cosine
+        # pruning, keep the least-centroid-similar member of each dup group
+        "semdedup_keep": ann.semdedup_keep,
+        "semdedup_stats": ann.semdedup_stats,
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
         "request_headers": webops.request_headers,

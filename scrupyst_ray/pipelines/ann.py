@@ -619,3 +619,99 @@ def pca_explained_variance(sf_dir: str, k: int = 16):
             ),
         }
     )
+
+
+# -- SemDeDup (semantic deduplication; Abbas et al. '23, arXiv:2303.09540) -----
+
+
+def _semdedup_flags(sf_dir: str, tau: float, k: int):
+    """(vec_id, cluster_id, kept) — SemDeDup over the embedding corpus.
+
+    The paper's recipe, deterministic end-to-end: k-means the embeddings
+    (seeded sample → broadcast unit-norm centroids, the IVF quantizer shared
+    with `build_ivf_index`), then WITHIN each cluster mark semantic
+    duplicates (pairwise cosine ≥ tau) and keep, from every duplicate
+    group, the member LEAST similar to the cluster centroid (the paper's
+    keep-rule: low centroid similarity = more informative example); ties
+    break on vec_id.  Greedy in keep-priority order, so the kept set is
+    unique and order-independent.
+
+    Scale shape: one streamed assignment pass appends cluster_id to each
+    row; the only shuffle is the cluster-keyed groupby, and per-group work
+    is the m×m cosine matrix of ONE cluster — k bounds m at corpus/k on
+    average (the paper runs k ≈ √N clusters for exactly this reason); no
+    cross-cluster pairs are ever formed and nothing reaches the driver."""
+    cent_ref = ray.put(_train_centroids(sf_dir, k))
+
+    def assign_keep_vectors(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _to_matrix(b)
+        a = (_normalize(m) @ c.T).argmax(axis=1)
+        return b.append_column(
+            "cluster_id", pa.array(a.astype(np.int64), pa.int64())
+        )
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids, m = _to_matrix(g)
+        order0 = np.argsort(ids, kind="stable")  # pin group row order
+        ids, m = ids[order0], m[order0]
+        cid = int(g["cluster_id"][0].as_py())
+        mn = _normalize(m)
+        cent_sim = mn @ c[cid]
+        sims = mn @ mn.T
+        # keep-priority: least centroid-similar first, vec_id tie-break
+        prio = np.lexsort((ids, cent_sim))
+        kept = np.zeros(len(ids), bool)
+        kept_idx: list[int] = []
+        for i in prio:
+            if not kept_idx or sims[i, kept_idx].max() < tau:
+                kept[i] = True
+                kept_idx.append(i)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(len(ids), cid, np.int64), pa.int64()
+                ),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    return (
+        _emb(sf_dir)
+        .map_batches(assign_keep_vectors, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )
+
+
+def semdedup_keep(sf_dir: str, tau: float = 0.95, k: int = 8):
+    """(vec_id) surviving SemDeDup — the deduplicated training set."""
+    flags = _semdedup_flags(sf_dir, tau, k)
+    return (
+        flags.filter(expr="kept == True")
+        .select_columns(["vec_id"])
+        .sort("vec_id")
+    )
+
+
+def semdedup_stats(sf_dir: str, tau: float = 0.95, k: int = 8):
+    """(cluster_id, n_vectors, n_kept) — per-cluster dedup pressure (the
+    paper's fig-2 diagnostic: how much of each semantic region is
+    redundant)."""
+    from ray.data.aggregate import Count, Sum
+
+    flags = _semdedup_flags(sf_dir, tau, k).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("kept"),
+            "kept",
+            pc.cast(b["kept"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    out = flags.groupby("cluster_id").aggregate(Count(), Sum("kept"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["cluster_id", "n_vectors", "n_kept"]),
+        batch_format="pyarrow",
+    ).sort("cluster_id")
