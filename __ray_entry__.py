@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- corpus curation (C4 span dedup / decontamination / packing) --
         "segment_dedup": curation.segment_dedup,
         "segment_dedup_stats": curation.segment_dedup_stats,
+        "dup_span_stats": curation.dup_span_stats,
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "packed_sequence_stats": curation.packed_sequence_stats,
@@ -663,6 +664,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        # Lee et al. '21 exact-substring duplication: stride-1 8-token
+        # windows, a window is dup iff its md5 occurs at >1 (doc, position)
+        "dup_span_stats": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                       FROM documents),
+            win AS (SELECT doc_id,
+                           UNNEST([md5(array_to_string(ws[i:i+7], ' '))
+                                   for i in range(1, len(ws) - 6)]) AS h
+                    FROM w WHERE len(ws) >= 8),
+            cnt AS (SELECT h, COUNT(*) AS c FROM win GROUP BY h)
+            SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows,
+                   printf('%.4f', SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                          * 1.0 / COUNT(*)) AS dup_frac
+            FROM win JOIN cnt USING (h)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # exact k=3-shingle Jaccard over the df≤64 universe; identical int
         # intersection/size counts ⇒ identical IEEE division both sides

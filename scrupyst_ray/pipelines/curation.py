@@ -451,3 +451,80 @@ def source_mixing_weights(sf_dir: str, alpha: float = 0.7):
             "weight": pa.array([f"{x:.6f}" for x in w], pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring detection (sliding windows, Lee et al. '21)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(sf_dir: str, width: int = 8):
+    """(doc_id, n_windows, n_dup_windows, dup_frac) — the exact-substring
+    duplication signal of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. '21, arXiv:2107.06499): a *width*-token window is a
+    duplicate if the SAME token sequence occurs at any other (doc, position)
+    in the corpus.  STRIDE-1 overlapping windows (the paper's suffix-array
+    semantics on fixed width) catch shifted duplicates that
+    :func:`segment_dedup`'s non-overlapping segments miss; dup_frac is the
+    per-document fraction of duplicated windows — the filter signal.
+    Documents with fewer than *width* tokens have no windows and are absent.
+
+    Scale shape: the window stream is ~1 row per token carrying a 16-byte
+    md5 — text never moves; occurrence counts come from one digest-keyed
+    groupby and ride back onto the stream via the size-selected hash join;
+    per-doc stats are one doc_id-keyed groupby.  Equivalent to the paper's
+    suffix-array pass without a global sorted structure (windows at fixed
+    width hash-partition instead)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        hs: list[bytes] = []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = ws_tokens(t)
+            for i in range(len(toks) - width + 1):
+                ids.append(d)
+                hs.append(
+                    hashlib.md5(" ".join(toks[i : i + width]).encode()).digest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hs, pa.binary()),
+            }
+        )
+
+    win = docs.map_batches(windows, batch_format="pyarrow").materialize()
+    cnt = rename(win.groupby("h").count(), ["h", "c"])
+    j = attach_by_key(win, cnt, "h", "c")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "dup": pc.cast(pc.greater(b["c"], 1), pa.int64()),
+            }
+        )
+
+    per_doc = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("one"), Sum("dup"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["sum(one)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b["sum(dup)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_windows": pc.cast(b["sum(one)"], pa.int64()),
+                "n_dup_windows": pc.cast(b["sum(dup)"], pa.int64()),
+                "dup_frac": pa.array(
+                    [f"{v:.4f}" for v in d / n], pa.string()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")

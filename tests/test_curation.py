@@ -331,3 +331,47 @@ class TestSourceMixingWeights:
         t = source_mixing_weights(sf, alpha=1.0).to_pylist()
         by = {r["source"]: r for r in t}
         assert by["srcA"]["weight"] == f"{32 / 36:.6f}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanStats:
+    def test_shifted_duplicate_detected(self, tmp_path):
+        """doc1 repeats doc0's sentence OFFSET BY ONE TOKEN — width-5
+        non-overlapping segments see different segment boundaries and miss
+        it; stride-1 windows must flag every window of the shared run."""
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # 8 tokens = one width-8 window
+        sf = _write_docs(
+            str(tmp_path),
+            [
+                shared + " tail0 tail1",
+                "off " + shared + " other",  # shifted by one token
+                "n0 n1 n2 n3 n4 n5 n6 n7 n8 n9",  # unique 10-token doc
+            ],
+        )
+        from scrupyst_ray.pipelines.curation import dup_span_stats
+
+        rows = {r["doc_id"]: r for r in dup_span_stats(sf, width=8).take_all()}
+        # doc0: 10 tokens -> 3 windows, exactly window[0] is the shared run
+        assert rows[0]["n_windows"] == 3 and rows[0]["n_dup_windows"] == 1
+        # doc1: 10 tokens -> 3 windows, window[1] is the shared run
+        assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 1
+        assert rows[2]["n_dup_windows"] == 0
+        assert rows[0]["dup_frac"] == f"{1/3:.4f}"
+
+    def test_within_doc_repeat_counts(self, tmp_path):
+        """A run repeated INSIDE one document is a duplicate too (the paper
+        dedups all repeated substrings, not only cross-doc ones)."""
+        run = "r1 r2 r3 r4 r5 r6 r7 r8"
+        sf = _write_docs(str(tmp_path), [run + " mid " + run])
+        from scrupyst_ray.pipelines.curation import dup_span_stats
+
+        rows = dup_span_stats(sf, width=8).take_all()
+        assert rows[0]["n_windows"] == 10  # 17 tokens
+        assert rows[0]["n_dup_windows"] == 2  # the two copies of the run
+
+    def test_short_docs_absent(self, tmp_path):
+        sf = _write_docs(str(tmp_path), ["a b c", "x1 x2 x3 x4 x5 x6 x7 x8"])
+        from scrupyst_ray.pipelines.curation import dup_span_stats
+
+        rows = dup_span_stats(sf, width=8).take_all()
+        assert [r["doc_id"] for r in rows] == [1]
