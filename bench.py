@@ -188,6 +188,10 @@ def run_query_bench(sf_dir: str) -> dict:
         "quality_classifier_scores",
         "q12_late_shipment_priority",
         "q22_idle_rich_customers",
+        "dsir_logweights",
+        "jaccard_allpairs_exact",
+        "semdedup_keep",
+        "dup_span_stats",
         # neardup_cluster_sizes is excluded: its exact-Jaccard pair graph at
         # sf0.1 (232k pairs) makes it a ~1 min query — correctness-gated at
         # sf0.01 instead

@@ -392,10 +392,12 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
 def _shingle_universe(sf_dir: str, k: int, max_df: int):
     """(shf, sizes): the df-capped shingle universe and per-doc set sizes.
 
-    shf — one row per distinct (doc_id, shingle-hash) whose shingle occurs
-    in at most *max_df* documents (shingles more common than that are
+    shf — one row per distinct (doc_id, shingle-hash, df) whose shingle
+    occurs in at most *max_df* documents (shingles more common than that are
     stopword-grade and carry no dedup signal — the standard df cut that also
     bounds the inverted-index group size, hence pair fan-out, at scale).
+    The df column stays on the rows so callers can prune df==1 singletons
+    before pair generation.
     sizes — (doc_id, nsh) distinct-shingle counts over that same universe."""
     docs = _docs(sf_dir, ["doc_id", "text"])
 
@@ -422,7 +424,6 @@ def _shingle_universe(sf_dir: str, k: int, max_df: int):
     shf = (
         _attach_by_key(sh, dfc, "sh", "df")
         .filter(expr=f"df <= {max_df}")
-        .select_columns(["doc_id", "sh"])
         .materialize()
     )
     sizes = _rename(
@@ -460,8 +461,14 @@ def jaccard_allpairs_exact(
             {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
         )
 
+    # df == 1 shingles (the vast majority) can't form pairs — dropping them
+    # BEFORE the inverted-index groupby cuts its group count ~5× (they still
+    # count toward set sizes, which were computed above from the full
+    # universe); df is carried on shf rows precisely for this prune
     inter = _rename(
-        shf.groupby("sh", num_partitions=_parts())
+        shf.filter(expr="df >= 2")
+        .select_columns(["doc_id", "sh"])
+        .groupby("sh", num_partitions=_parts())
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["a", "b"], num_partitions=_parts())
         .count(),
