@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": webops.cdx_index,
         "export_jsonl_roundtrip": webops.export_jsonl_roundtrip,
         "export_csv_roundtrip": webops.export_csv_roundtrip,
+        "partitioned_export_roundtrip": webops.partitioned_export_roundtrip,
         "curation_funnel": report.curation_funnel,
         "host_page_stats": report.host_page_stats,
         "pagerank": graph.pagerank,
@@ -579,6 +580,12 @@ def oracle_sql() -> dict[str, str]:
         "export_csv_roundtrip": """
             SELECT doc_id, source, n_chars AS chars
             FROM documents WHERE n_chars >= 100 ORDER BY doc_id
+        """,
+        "partitioned_export_roundtrip": """
+            SELECT source, COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "middleware_quality_gate": """
             SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS text_chars

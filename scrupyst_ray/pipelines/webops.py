@@ -902,3 +902,44 @@ def httpcache_decisions(sf_dir: str):
         )
         .sort("doc_id")
     )
+
+
+def partitioned_export_roundtrip(sf_dir: str):
+    """(source, n_rows, sum_doc_id, sum_chars) — the documents table pushed
+    through the RESUMABLE partition-per-key sink
+    (``stages/export.py::write_partitioned``: one atomically-committed
+    ``source=<v>/`` dir per key, ``_COMPLETE`` markers, re-runs skip
+    finished partitions) and read back via ``read_partitioned``; the
+    aggregate proves every row survived the round-trip exactly once."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from scrupyst_ray.stages.export import read_partitioned, write_partitioned
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    n_docs = docs.count()
+    out_dir = os.path.join(
+        "/tmp",
+        f"scrupyst_partsink_v1_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{n_docs}",
+    )
+    write_partitioned(docs, out_dir, "source")  # resume-skips completed keys
+    back = read_partitioned(out_dir, "source")
+    out = back.groupby("source").aggregate(
+        Count(), Sum("doc_id"), Sum("n_chars")
+    )
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_rows": pc.cast(b["count()"], pa.int64()),
+                "sum_doc_id": pc.cast(b["sum(doc_id)"], pa.int64()),
+                "sum_chars": pc.cast(b["sum(n_chars)"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow").sort("source")
