@@ -389,17 +389,34 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
 # -- exact all-pairs shingle Jaccard (inverted index, df-capped) ----------------
 
 
-def _shingle_universe(sf_dir: str, k: int, max_df: int):
-    """(shf, sizes): the df-capped shingle universe and per-doc set sizes.
+def jaccard_allpairs_exact(
+    sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
+):
+    """(a, b, jaccard) — EXACT k-shingle Jaccard for every document pair
+    with j ≥ threshold, via a distributed shingle inverted index (no LSH,
+    no estimate).  j = |∩| / (|a| + |b| − |∩|) over the df-capped universe:
+    shingles in more than *max_df* documents are stopword-grade, carry no
+    dedup signal, and leave BOTH the intersection and the set sizes — the
+    standard df cut that also bounds pair fan-out at scale.
 
-    shf — one row per distinct (doc_id, shingle-hash, df) whose shingle
-    occurs in at most *max_df* documents (shingles more common than that are
-    stopword-grade and carry no dedup signal — the standard df cut that also
-    bounds the inverted-index group size, hence pair fan-out, at scale).
-    The df column stays on the rows so callers can prune df==1 singletons
-    before pair generation.
-    sizes — (doc_id, nsh) distinct-shingle counts over that same universe."""
+    One shingle-BUCKET-keyed groupby computes everything group-local: the
+    stream hash-buckets on the shingle, and inside each bucket a vectorized
+    numpy pass (sort + unique run-lengths) recovers every shingle's document
+    frequency, emits size-marker rows (b = -1) for admitted shingles and,
+    where df ≥ 2, the C(df,2) candidate pairs — no separate df aggregate, no
+    df join back onto the stream, and no per-shingle map_groups call (2×10⁵
+    one-row groups cost more in group dispatch than the whole computation;
+    buckets keep the group count at the partition count).  Set sizes and
+    intersection counts then reduce from that one stream.
+
+    Scale shape: the shuffle payload is (8-byte hash, 8-byte doc_id) rows —
+    text never moves; per-group pair fan-out is bounded by max_df²/2; the
+    (a,b) count groupby sees only co-shingle pairs, not n².  Exactness
+    rests on blake2b-64 shingle-hash collision-freedom (same trade as the
+    md5 exact-dedup path)."""
     docs = _docs(sf_dir, ["doc_id", "text"])
+
+    n_buckets = _parts() * 4
 
     def shingle_rows(b: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -413,63 +430,53 @@ def _shingle_universe(sf_dir: str, k: int, max_df: int):
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "sh": pa.array(sh, pa.int64()),
+                "bucket": pa.array(
+                    (sh.view(np.uint64) % n_buckets).view(np.int64), pa.int64()
+                ),
             }
         )
 
-    sh = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
-    # document frequency per shingle (rows are distinct per doc)
-    dfc = _rename(
-        sh.groupby("sh", num_partitions=_parts()).count(), ["sh", "df"]
-    )
-    shf = (
-        _attach_by_key(sh, dfc, "sh", "df")
-        .filter(expr=f"df <= {max_df}")
+    def markers_and_pairs(g: pa.Table) -> pa.Table:
+        # one vectorized pass over ONE bucket's (sh, doc_id) rows: sort by
+        # (sh, doc_id), recover per-shingle runs, emit size markers for
+        # admitted (df ≤ max_df) shingles and pairs for df ≥ 2 runs
+        shs = g["sh"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, shs))
+        shs, ids = shs[order], ids[order]
+        _, starts, counts = np.unique(shs, return_index=True, return_counts=True)
+        admitted = counts <= max_df
+        marker_mask = np.repeat(admitted, counts)
+        a_parts = [ids[marker_mask]]
+        b_parts = [np.full(int(marker_mask.sum()), -1, np.int64)]
+        for s, c in zip(starts[admitted & (counts > 1)],
+                        counts[admitted & (counts > 1)]):
+            run = ids[s : s + c]  # already sorted (lexsort tie-break)
+            iu, ju = np.triu_indices(c, 1)
+            a_parts.append(run[iu])
+            b_parts.append(run[ju])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_parts), pa.int64()),
+                "b": pa.array(np.concatenate(b_parts), pa.int64()),
+            }
+        )
+
+    stream = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_parts())
+        .map_groups(markers_and_pairs, batch_format="pyarrow")
         .materialize()
     )
     sizes = _rename(
-        shf.groupby("doc_id", num_partitions=_parts()).count(),
+        stream.filter(expr="b == -1")
+        .select_columns(["a"])
+        .groupby("a", num_partitions=_parts())
+        .count(),
         ["doc_id", "nsh"],
     ).materialize()
-    return shf, sizes
-
-
-def jaccard_allpairs_exact(
-    sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
-):
-    """(a, b, jaccard) — EXACT k-shingle Jaccard for every document pair
-    with j ≥ threshold, via a distributed shingle inverted index (no LSH,
-    no estimate): explode docs to distinct shingle hashes, drop shingles
-    with document frequency > max_df, emit pairs per shingle group, count
-    common shingles with one (a,b)-keyed groupby, attach set sizes with two
-    hash joins.  j = |∩| / (|a| + |b| − |∩|) over the df-capped universe.
-
-    Scale shape: the shuffle payload is (8-byte hash, 8-byte doc_id) rows —
-    text never moves; per-group pair fan-out is bounded by max_df²/2; the
-    (a,b) count groupby sees only co-shingle pairs, not n².  Exactness
-    rests on blake2b-64 shingle-hash collision-freedom (same trade as the
-    md5 exact-dedup path)."""
-    shf, sizes = _shingle_universe(sf_dir, k, max_df)
-
-    def pairs_of_group(g: pa.Table) -> pa.Table:
-        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
-        a: np.ndarray | list = []
-        b: np.ndarray | list = []
-        if len(ids) > 1:  # group size ≤ max_df by construction
-            iu, ju = np.triu_indices(len(ids), 1)
-            a, b = ids[iu], ids[ju]
-        return pa.table(
-            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
-        )
-
-    # df == 1 shingles (the vast majority) can't form pairs — dropping them
-    # BEFORE the inverted-index groupby cuts its group count ~5× (they still
-    # count toward set sizes, which were computed above from the full
-    # universe); df is carried on shf rows precisely for this prune
     inter = _rename(
-        shf.filter(expr="df >= 2")
-        .select_columns(["doc_id", "sh"])
-        .groupby("sh", num_partitions=_parts())
-        .map_groups(pairs_of_group, batch_format="pyarrow")
+        stream.filter(expr="b >= 0")
         .groupby(["a", "b"], num_partitions=_parts())
         .count(),
         ["a", "b", "inter"],
