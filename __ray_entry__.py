@@ -268,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": curation.segment_dedup,
         "segment_dedup_stats": curation.segment_dedup_stats,
         "dup_span_stats": curation.dup_span_stats,
+        # the composed pipeline: gate → exact dedup → jaccard near-dedup →
+        # decontamination, hash-checked end to end
+        "curation_pipeline_funnel": curation.curation_pipeline_funnel,
+        "curated_doc_ids": curation.curated_doc_ids,
         "decontaminate": curation.decontaminate,
         "pack_sequences": curation.pack_sequences,
         "packed_sequence_stats": curation.packed_sequence_stats,
@@ -325,6 +329,72 @@ _SW = (
     "the a an and or of to in is are was were be been it this that for on with"
     " as at by from not have has had but they you we he she"
 ).split()
+
+# the COMPOSED curation pipeline (pipelines/curation.py::curate_corpus):
+# Gopher/C4 quality gate → exact dedup → exact-Jaccard near-dedup →
+# benchmark decontamination — each stage re-derived in SQL over the
+# previous stage's survivors, ending in the `final` doc_id set
+_CURATE_CTE = """
+    WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+               FROM documents),
+    g2 AS (SELECT doc_id,
+                  array_to_string(
+                      words[CAST(i AS BIGINT)+1 : CAST(i AS BIGINT)+2],
+                      ' ') AS g
+           FROM w, UNNEST(range(0, greatest(len(words) - 1, 0))) AS t(i)),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    p2 AS (SELECT doc_id, SUM(c) AS total,
+                  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+                  MAX(c) AS top_c
+           FROM c2 GROUP BY 1),
+    q AS (SELECT d.doc_id, d.text
+          FROM documents d LEFT JOIN p2 USING (doc_id)
+          WHERE len(regexp_extract_all(d.text, '\\S+')) >= 15
+            AND COALESCE(p2.dup_occ * 1.0 / p2.total, 0) <= 0.15
+            AND COALESCE(p2.top_c * 1.0 / p2.total, 0) <= 0.10
+            AND d.n_chars >= 100
+            AND length(d.text) > 0
+            AND length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) * 1.0
+                / length(d.text) > 0.5),
+    ex AS (SELECT doc_id, text FROM q
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+    exw AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM ex),
+    s0 AS (SELECT doc_id,
+                  UNNEST([array_to_string(ws[i:i+2], ' ')
+                          for i in range(1, len(ws) - 1)]) AS sh
+           FROM exw WHERE len(ws) >= 3
+           UNION ALL
+           SELECT doc_id, array_to_string(ws, ' ') AS sh
+           FROM exw WHERE len(ws) < 3),
+    sh AS (SELECT DISTINCT doc_id, sh FROM s0),
+    keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 64),
+    u AS (SELECT s.doc_id, s.sh FROM sh s JOIN keepsh USING (sh)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+    pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+           FROM u x JOIN u y USING (sh)
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+    nd_drop AS (SELECT DISTINCT pr.b AS doc_id
+                FROM pr
+                JOIN sz sa ON sa.doc_id = pr.a
+                JOIN sz sb ON sb.doc_id = pr.b
+                WHERE pr.inter * 1.0 / (sa.n + sb.n - pr.inter) >= 0.4),
+    nd AS (SELECT doc_id FROM ex
+           WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop)),
+    cgrams AS (SELECT doc_id,
+                      array_to_string(ws[CAST(i AS BIGINT)
+                                         : CAST(i AS BIGINT)+7], ' ') AS g
+               FROM (SELECT doc_id,
+                            regexp_extract_all(text, '\\S+') AS ws
+                     FROM documents) allw,
+                    UNNEST(range(1, len(ws) - 6)) AS t(i)
+               WHERE len(ws) >= 8),
+    bgrams AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % 10 = 0),
+    contam AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams USING (g)
+               WHERE c.doc_id % 10 <> 0),
+    final AS (SELECT doc_id FROM nd
+              WHERE doc_id % 10 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM contam))
+"""
 
 # shared CTE prologue for the exact-Jaccard oracles (pipelines/dedup.py
 # jaccard_allpairs_exact): distinct 3-token shingles per doc (<3 tokens →
@@ -671,6 +741,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1
+        """,
+        "curation_pipeline_funnel": _CURATE_CTE + """
+            SELECT * FROM (
+              SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+              UNION ALL SELECT '1_quality', COUNT(*) FROM q
+              UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM ex
+              UNION ALL SELECT '3_neardup', COUNT(*) FROM nd
+              UNION ALL SELECT '4_decontaminated', COUNT(*) FROM final)
+            ORDER BY stage
+        """,
+        "curated_doc_ids": _CURATE_CTE + """
+            SELECT doc_id FROM final ORDER BY doc_id
         """,
         # Lee et al. '21 exact-substring duplication: stride-1 8-token
         # windows, a window is dup iff its md5 occurs at >1 (doc, position)

@@ -169,6 +169,31 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed training-data curation pipeline (quality gate →
+    exact dedup → Jaccard near-dedup → decontamination) over a documents
+    table and write the survivors through the resumable partition-per-source
+    sink; prints the funnel as JSON."""
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from scrupyst_ray.pipelines.curation import curate_corpus
+
+    funnel, _ = curate_corpus(
+        args.sf_dir,
+        out_dir=args.output,
+        min_tokens=args.min_tokens,
+        neardup_threshold=args.neardup_threshold,
+    )
+    print(json.dumps({"funnel": dict(funnel), "output": args.output}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     rounds_dir = os.path.join(args.workdir, "rounds")
     if not os.path.isdir(rounds_dir):
@@ -222,6 +247,19 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("stats", help="print committed round manifests")
     s.add_argument("--workdir", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    cu = sub.add_parser(
+        "curate",
+        help="composed training-data curation over a documents table "
+             "(gate → dedup → near-dedup → decontaminate → partitioned sink)",
+    )
+    cu.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    cu.add_argument("--output", "-o", required=True,
+                    help="resumable partition-per-source output dir")
+    cu.add_argument("--min-tokens", type=int, default=15)
+    cu.add_argument("--neardup-threshold", type=float, default=0.4)
+    cu.set_defaults(fn=cmd_curate)
     return ap
 
 

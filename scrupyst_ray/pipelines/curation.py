@@ -528,3 +528,166 @@ def dup_span_stats(sf_dir: str, width: int = 8):
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# the composed curation pipeline (gate → dedup → decontaminate → sink)
+# ---------------------------------------------------------------------------
+
+CURATE_STAGES = (
+    "0_input",
+    "1_quality",
+    "2_exact_dedup",
+    "3_neardup",
+    "4_decontaminated",
+)
+
+
+def _quality_filter(docs, min_tokens, max_dup_2gram, max_top_2gram,
+                    min_chars, min_alpha):
+    """Gopher/C4 quality gate as one vectorized-ish batch filter (the same
+    predicates `report.curation_funnel` counts)."""
+    from scrupyst_ray.pipelines.textstats import _repetition_row
+
+    def gate(b: pa.Table) -> pa.Table:
+        alpha = pc.count_substring_regex(b["text"], pattern="[A-Za-z]")
+        total = pc.utf8_length(b["text"])
+        keep = []
+        for t, nch, a, tot in zip(
+            b["text"].to_pylist(),
+            b["n_chars"].to_pylist(),
+            alpha.to_pylist(),
+            total.to_pylist(),
+        ):
+            toks = ws_tokens(t)
+            if len(toks) < min_tokens:
+                keep.append(False)
+                continue
+            d2, t2 = _repetition_row(toks, 2)
+            keep.append(
+                d2 <= max_dup_2gram
+                and t2 <= max_top_2gram
+                and nch >= min_chars
+                and tot > 0
+                and a / tot > min_alpha
+            )
+        return b.filter(pa.array(keep))
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def _exact_dup_drops(docs):
+    """(doc_id) of every doc that is NOT the min doc_id of its distinct
+    text — the exact-dedup drop set (16-byte digests shuffle, texts don't)."""
+    from ray.data.aggregate import Min
+
+    def add_h(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).digest() for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "h": pa.array(h, pa.binary())}
+        )
+
+    keys = docs.map_batches(add_h, batch_format="pyarrow").materialize()
+    keep = rename(keys.groupby("h").aggregate(Min("doc_id")), ["h", "keep_id"])
+    keyed = attach_by_key(keys, keep, "h", "keep_id")
+    return (
+        keyed.filter(expr="doc_id != keep_id").select_columns(["doc_id"])
+    )
+
+
+def curate_corpus(
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_tokens: int = 15,
+    max_dup_2gram: float = 0.15,
+    max_top_2gram: float = 0.10,
+    min_chars: int = 100,
+    min_alpha: float = 0.5,
+    neardup_threshold: float = 0.4,
+    decontam_n: int = 8,
+    bench_mod: int = 10,
+):
+    """The COMPOSED training-data curation pipeline, end to end:
+
+      quality gate (Gopher repetition + C4 length/alpha)
+        → exact dedup (min-doc_id per distinct text)
+        → exact-Jaccard near-dedup (drop higher ids of j ≥ threshold pairs)
+        → benchmark decontamination (drop the held-out split AND any doc
+          sharing a *decontam_n*-gram with it)
+        → resumable partition-per-source Parquet sink (when *out_dir*).
+
+    Every stage is a distributed filter/anti-join over the previous stage's
+    survivors — drop SETS move between stages (8-byte ids), documents move
+    once, into the sink.  Returns ``(funnel, final_ds)`` where funnel is
+    ``[(stage, n_docs), ...]`` for the five CURATE_STAGES.  The whole chain
+    is SQL-expressible, so the driver hash-checks the composition, not just
+    the pieces (`curation_pipeline_funnel` / `curated_doc_ids`)."""
+    from scrupyst_ray.pipelines.dedup import jaccard_allpairs_for
+
+    docs = _docs(
+        sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).materialize()
+    funnel = [("0_input", docs.count())]
+
+    gated = _quality_filter(
+        docs, min_tokens, max_dup_2gram, max_top_2gram, min_chars, min_alpha
+    ).materialize()
+    funnel.append(("1_quality", gated.count()))
+
+    from scrupyst_ray.pipelines.joins import anti_join_by_key
+
+    exact = anti_join_by_key(
+        gated, _exact_dup_drops(gated), "doc_id"
+    ).materialize()
+    funnel.append(("2_exact_dedup", exact.count()))
+
+    pairs = jaccard_allpairs_for(exact, threshold=neardup_threshold)
+    near_drops = (
+        pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    )
+    neardup = anti_join_by_key(exact, near_drops, "doc_id").materialize()
+    funnel.append(("3_neardup", neardup.count()))
+
+    # decontamination: benchmark split + its n-gram hits, both defined over
+    # the ORIGINAL corpus (the eval set exists before curation does)
+    contaminated = decontaminate(sf_dir, n=decontam_n, bench_mod=bench_mod)
+    flagged = contaminated.filter(expr="contaminated == True").select_columns(
+        ["doc_id"]
+    )
+    no_contam = anti_join_by_key(neardup, flagged, "doc_id")
+
+    def drop_bench(b: pa.Table) -> pa.Table:
+        d = b["doc_id"]
+        mod = pc.subtract(d, pc.multiply(pc.divide(d, bench_mod), bench_mod))
+        return b.filter(pc.not_equal(mod, 0))
+
+    final = no_contam.map_batches(
+        drop_bench, batch_format="pyarrow"
+    ).materialize()
+    funnel.append(("4_decontaminated", final.count()))
+
+    if out_dir is not None:
+        from scrupyst_ray.stages.export import write_partitioned
+
+        write_partitioned(final, out_dir, "source")
+    return funnel, final
+
+
+def curation_pipeline_funnel(sf_dir: str):
+    """(stage, n_docs) — survivors after each stage of the composed
+    curation pipeline (`curate_corpus`), hash-checked end to end."""
+    funnel, _ = curate_corpus(sf_dir)
+    return pa.table(
+        {
+            "stage": pa.array([s for s, _ in funnel], pa.string()),
+            "n_docs": pa.array([n for _, n in funnel], pa.int64()),
+        }
+    )
+
+
+def curated_doc_ids(sf_dir: str):
+    """(doc_id) — the final curated training set, the strongest end-to-end
+    check: the composed pipeline's exact output ids must match the SQL
+    re-derivation of all four stages."""
+    _, final = curate_corpus(sf_dir)
+    return final.select_columns(["doc_id"]).sort("doc_id")

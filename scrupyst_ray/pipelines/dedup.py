@@ -392,6 +392,14 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
 def jaccard_allpairs_exact(
     sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
 ):
+    return jaccard_allpairs_for(
+        _docs(sf_dir, ["doc_id", "text"]), k, threshold, max_df
+    )
+
+
+def jaccard_allpairs_for(
+    docs, k: int = 3, threshold: float = 0.4, max_df: int = 64
+):
     """(a, b, jaccard) — EXACT k-shingle Jaccard for every document pair
     with j ≥ threshold, via a distributed shingle inverted index (no LSH,
     no estimate).  j = |∩| / (|a| + |b| − |∩|) over the df-capped universe:
@@ -414,8 +422,6 @@ def jaccard_allpairs_exact(
     (a,b) count groupby sees only co-shingle pairs, not n².  Exactness
     rests on blake2b-64 shingle-hash collision-freedom (same trade as the
     md5 exact-dedup path)."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
-
     n_buckets = _parts() * 4
 
     def shingle_rows(b: pa.Table) -> pa.Table:

@@ -375,3 +375,94 @@ class TestDupSpanStats:
 
         rows = dup_span_stats(sf, width=8).take_all()
         assert [r["doc_id"] for r in rows] == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateCorpus:
+    def _corpus(self, tmp_path):
+        """Purpose-built docs: every stage drops someone.
+        doc 10: benchmark (10 % 10 == 0) — dropped at decontamination.
+        doc 11: good.       doc 12: exact dup of 11 — exact-dedup drop.
+        doc 13: near-dup of 11 (one word differs) — Jaccard drop.
+        doc 14: too short — quality drop.
+        doc 15: shares an 8-gram with benchmark doc 10 — contamination drop.
+        doc 16: good, distinct."""
+        good = ("the quick brown fox jumps over the lazy dog while many "
+                "other animals watch the entire scene unfold nearby today")
+        near = good.replace("dog", "cat")
+        bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "some unique benchmark words continue here for a while longer")
+        contam = ("totally different text that embeds alpha beta gamma delta "
+                  "epsilon zeta eta theta inside its body and keeps talking")
+        other = ("completely independent document with plenty of distinct "
+                 "words to pass every single quality gate easily and cleanly")
+        texts = {10: bench, 11: good, 12: good, 13: near, 14: "too short",
+                 15: contam, 16: other}
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = sorted(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array([texts[i] for i in ids], pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                    "source": pa.array(
+                        ["s" + str(i % 2) for i in ids], pa.string()
+                    ),
+                    "n_chars": pa.array(
+                        [len(texts[i]) for i in ids], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(str(tmp_path), "documents.parquet"),
+        )
+        return str(tmp_path)
+
+    def test_funnel_and_final_ids(self, tmp_path):
+        from scrupyst_ray.pipelines.curation import curate_corpus
+
+        sf = self._corpus(tmp_path)
+        funnel, final = curate_corpus(sf)
+        assert dict(funnel) == {
+            "0_input": 7,
+            "1_quality": 6,  # 14 dropped (too short)
+            "2_exact_dedup": 5,  # 12 dropped (dup of 11)
+            "3_neardup": 4,  # 13 dropped (near-dup of 11)
+            "4_decontaminated": 2,  # 10 (benchmark) + 15 (contaminated)
+        }
+        assert sorted(r["doc_id"] for r in final.take_all()) == [11, 16]
+
+    def test_sink_written_and_resumable(self, tmp_path):
+        import os
+
+        from scrupyst_ray.pipelines.curation import curate_corpus
+        from scrupyst_ray.stages.export import read_partitioned
+
+        sf = self._corpus(tmp_path)
+        out = str(tmp_path / "curated")
+        curate_corpus(sf, out_dir=out)
+        back = read_partitioned(out, "source").take_all()
+        assert sorted(r["doc_id"] for r in back) == [11, 16]
+        # second run: all partitions complete, nothing rewritten
+        mtime = os.path.getmtime(
+            os.path.join(out, "source=s1", "part.parquet")
+        )
+        curate_corpus(sf, out_dir=out)
+        assert os.path.getmtime(
+            os.path.join(out, "source=s1", "part.parquet")
+        ) == mtime
+
+    def test_cli_curate(self, tmp_path, capsys):
+        import json
+
+        from scrupyst_ray.cli import main
+
+        sf = self._corpus(tmp_path)
+        out = str(tmp_path / "cli_out")
+        assert main(["curate", "--sf-dir", sf, "-o", out]) == 0
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["funnel"]["4_decontaminated"] == 2
