@@ -12,12 +12,20 @@ from hashlib import blake2b
 
 import numpy as np
 
+from scrupyst_ray.functions.textstats import ws_tokens
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of the k-token shingles of *text* (deduplicated)."""
-    toks = text.split()
+    """uint64 hashes of the k-token shingles of *text* (deduplicated).
+
+    Tokens are RE2-\\S-exact (``ws_tokens``), NOT ``str.split()`` — Python
+    treats \\xa0/\\x85/\\v as whitespace where RE2 (the DuckDB oracle
+    regex) does not, and the exact-Jaccard oracles re-derive these shingles
+    with ``regexp_extract_all(text, '\\S+')``; the two tokenizers must
+    agree byte-for-byte (same guard as the bigram LM)."""
+    toks = ws_tokens(text)
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else [""]
     else:
@@ -69,8 +77,9 @@ def band_keys(signature: np.ndarray, bands: int) -> list[bytes]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
-    toks = text.split()
+    """64-bit SimHash over whitespace tokens (term-frequency weighted;
+    RE2-\\S-exact tokenizer, shared with the Jaccard shingles)."""
+    toks = ws_tokens(text)
     if not toks:
         return 0
     uniq, counts = np.unique(np.array(toks), return_counts=True)

@@ -121,3 +121,44 @@ def test_deterministic(ray_session, jac_dir):
     a = jaccard_allpairs_exact(jac_dir).take_all()
     b = jaccard_allpairs_exact(jac_dir).take_all()
     assert a == b
+
+
+def test_unicode_whitespace_matches_duckdb_oracle(ray_session, tmp_path):
+    """\xa0/\x85 are token-INTERNAL for RE2's \\S (the DuckDB oracle) but
+    token-splitting for Python's str.split() — the shingle tokenizer must
+    side with RE2 or the oracle diverges on such corpora."""
+    import duckdb
+
+    from scrupyst_ray.pipelines.dedup import jaccard_allpairs_exact
+
+    texts = [
+        "a\xa0b c d e f",      # nbsp inside the first token
+        "a\xa0b c d e g",      # near-dup of doc 0 under EITHER tokenizer,
+        "x\x85y z w v u",      # but the shingle strings differ by tokenizer
+        "p q r s t u",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    got = [
+        (r["a"], r["b"], r["jaccard"])
+        for r in jaccard_allpairs_exact(str(tmp_path), threshold=0.1).take_all()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(str(tmp_path), 'documents.parquet')}'"
+    )
+    import __ray_entry__ as entry
+
+    sql = entry.oracle_sql()["jaccard_allpairs_exact"].replace(
+        "jac >= 0.4", "jac >= 0.1"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want and len(got) >= 1
