@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         classify,
         cluster,
+        bpe,
         curation,
         dedup,
         dsir,
@@ -240,6 +241,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_logweights": dsir.dsir_logweights,
         "dsir_by_lang": dsir.dsir_by_lang,
         "dsir_top_docs": dsir.dsir_top_docs,
+        # BPE tokenizer training (Sennrich '16) — iterative argmax, so
+        # rows-only; pytest-gated vs a pure-Python reference implementation
+        "bpe_merges": bpe.bpe_merges,
+        "bpe_vocab_stats": bpe.bpe_vocab_stats,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,
         "vocab_by_lang": textstats.vocab_by_lang,

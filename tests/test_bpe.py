@@ -1,0 +1,112 @@
+"""Distributed BPE merge learning (`pipelines/bpe.py`) vs a pure-Python
+reference implementation of Sennrich et al.'s algorithm."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide wide wide",
+    "low new wide",
+]
+
+
+def ref_bpe(texts: list[str], n_merges: int):
+    """Textbook BPE on the word-frequency table; merges apply left-to-right
+    non-overlapping; tie-break = (count desc, 'left\\x00right' asc)."""
+    wf = Counter()
+    for t in texts:
+        wf.update(t.split())
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc_: Counter = Counter()
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                pc_[(a, b)] += wf[w]
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x00" + kv[0][1]))
+        (l, r), c = best
+        if c < 2:
+            break
+        merges.append((l, r, c))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpedocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+                "text": pa.array(DOCS, pa.string()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_merges_match_reference(ray_session, bpe_dir):
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    got = learn_bpe(bpe_dir, n_merges=8)
+    want = ref_bpe(DOCS, 8)
+    assert got == want
+    assert len(got) >= 4  # the corpus has that much mergeable structure
+
+
+def test_first_merge_tiebreak(ray_session, bpe_dir):
+    """(d,e), (i,d), (w,i) all count 7 (wide×5 + wider + widest) — the
+    deterministic tie-break (pair-string ascending) must pick ('d','e')."""
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    got = learn_bpe(bpe_dir, n_merges=1)
+    assert got == [("d", "e", 7)]
+
+
+def test_overlapping_run_merges_nonoverlapping(ray_session, tmp_path):
+    """'aaaa' under merge (a,a): left-to-right scan yields (aa)(aa), not
+    three overlapping matches — the reference implementation's semantics."""
+    from scrupyst_ray.pipelines.bpe import merge_symbols
+
+    assert merge_symbols(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert merge_symbols(list("aaa"), "a", "a") == ["aa", "a"]
+
+
+def test_segment_uses_rank_order(ray_session, bpe_dir):
+    from scrupyst_ray.pipelines.bpe import bpe_segment, learn_bpe
+
+    merges = learn_bpe(bpe_dir, n_merges=8)
+    seg = bpe_segment("lowest", merges)
+    assert "".join(seg) == "lowest"
+    assert len(seg) < len("lowest")  # at least one merge applied
+
+
+def test_vocab_stats_consistent(ray_session, bpe_dir):
+    from scrupyst_ray.pipelines.bpe import bpe_vocab_stats
+
+    t = bpe_vocab_stats(bpe_dir, n_merges=8)
+    row = {c: t[c][0].as_py() for c in t.column_names}
+    assert row["encoded_symbols"] < row["char_symbols"]
+    assert row["n_merges"] == 8
+    assert row["corpus_tokens"] == sum(len(d.split()) for d in DOCS)
