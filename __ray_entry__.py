@@ -165,6 +165,12 @@ def _q_media_frames(sf_dir: str):
     )
 
 
+def _pq():
+    from scrupyst_ray.pipelines import pq
+
+    return pq
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from scrupyst_ray.pipelines import (
         ann,
@@ -299,6 +305,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pruning, keep the least-centroid-similar member of each dup group
         "semdedup_keep": ann.semdedup_keep,
         "semdedup_stats": ann.semdedup_stats,
+        # product quantization (Jégou '11): uint8 codes + ADC scan + exact
+        # shortlist re-rank; rows-only (k-means codebooks), recall-gated
+        "pq_adc_topk": lambda sf: _pq().adc_topk(
+            sf, [0], 10, m=16, n_codes=256, rerank=50
+        ),
+        "pq_recall": lambda sf: _pq().pq_recall(
+            sf, [0, 7, 23, 41], 10, m=16, n_codes=256, rerank=50
+        ),
+        "pq_code_stats": lambda sf: _pq().pq_code_stats(
+            sf, m=16, n_codes=256
+        ),
         # -- middleware kernels over the page corpus (rows-only) --
         "sniff_types": webops.sniff_types,
         "request_headers": webops.request_headers,

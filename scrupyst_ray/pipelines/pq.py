@@ -1,0 +1,296 @@
+"""Product quantization — compressed-vector ANN (Jégou et al., TPAMI '11,
+"Product Quantization for Nearest Neighbor Search").
+
+PQ slices each d-dim vector into M subvectors and k-means-quantizes every
+subspace independently: a vector becomes M uint8 codes (32× smaller than
+float32 at M=8, d=64), and asymmetric distance computation (ADC) scores a
+query against ALL codes with one (M × 256) lookup table + a table-gather —
+the memory-bound scale path when the corpus no longer fits as floats.
+
+Distributed shape (mirrors `pipelines/ann.py`'s IVF discipline):
+- codebooks train once on a seeded `random_sample` (driver-side k-means on
+  a bounded sample — the same legal small-state move as the IVF quantizer)
+  and broadcast via `ray.put`;
+- encoding is one streamed `map_batches` pass (vectorized per-subspace
+  argmin), emitting (vec_id, code: binary(M)) rows — the corpus floats
+  never ship anywhere afterwards;
+- ADC search broadcasts the per-query lookup tables (M×256 floats each)
+  and scans CODES per batch: per-batch local top-k, driver merges only
+  #batches × k rows (the brute_force_topk pattern, on 32×-smaller data).
+
+Rows-only (k-means); pytest gates: encode determinism, ADC-vs-exact recall
+on the synthetic embeddings, reconstruction-error sanity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from scrupyst_ray.pipelines.ann import (
+    _emb,
+    _kmeans,
+    _normalize,
+    _to_matrix,
+    load_query_vectors,
+)
+
+
+def train_codebooks(
+    sf_dir: str,
+    m: int = 8,
+    n_codes: int = 64,
+    sample_rows: int = 2048,
+    seed: int = 11,
+) -> np.ndarray:
+    """(m, n_codes, d/m) float64 per-subspace codebooks, trained on a
+    seeded random sample (bounded driver-side state, corpus-size-free).
+    n_codes ≤ 256 so codes fit uint8."""
+    if n_codes > 256:
+        raise ValueError("n_codes must fit uint8 (≤ 256)")
+    emb = _emb(sf_dir)
+    total = emb.count()
+    frac = min(1.0, sample_rows / max(total, 1))
+    tables = [
+        t
+        for t in ray.get(emb.random_sample(frac, seed=seed).to_arrow_refs())
+        if t.num_columns
+    ]
+    sample = pa.concat_tables(tables).sort_by("vec_id")
+    _, x = _to_matrix(sample)
+    x = _normalize(x)  # unit vectors: L2 is then monotonic in cosine
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.stack(
+        [
+            _kmeans(x[:, j * sub : (j + 1) * sub], n_codes)
+            for j in range(m)
+        ]
+    )
+    return books
+
+
+def encode(sf_dir: str, m: int = 8, n_codes: int = 64):
+    """(vec_id, code: binary(m)) — the PQ-compressed corpus, one streamed
+    pass; vectorized per-subspace nearest-centroid argmin."""
+    books_ref = ray.put(train_codebooks(sf_dir, m, n_codes))
+
+    def enc(b: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        ids, x = _to_matrix(b)
+        x = _normalize(x)
+        mm, _, sub = books.shape
+        codes = np.empty((len(x), mm), np.uint8)
+        for j in range(mm):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # ||x - c||² argmin == argmax(2x·c − ||c||²), vectorized
+            dots = xs @ books[j].T
+            codes[:, j] = np.argmin(
+                (books[j] ** 2).sum(axis=1)[None, :] - 2 * dots, axis=1
+            ).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(enc, batch_format="pyarrow")
+
+
+def pq_code_stats(sf_dir: str, m: int = 8, n_codes: int = 64):
+    """(n_vectors, code_bytes, distinct_codes, mean_sq_error) — compression
+    + fidelity summary of the PQ index (the sanity dashboard row).
+    mean_sq_error is the corpus-mean ‖x − decode(encode(x))‖², %.4f."""
+    books_ref = ray.put(train_codebooks(sf_dir, m, n_codes))
+
+    def partial(b: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        ids, x = _to_matrix(b)
+        x = _normalize(x)
+        mm, _, sub = books.shape
+        err = np.zeros(len(x))
+        code_rows = np.empty((len(x), mm), np.uint8)
+        for j in range(mm):
+            xs = x[:, j * sub : (j + 1) * sub]
+            dots = xs @ books[j].T
+            c = np.argmin(
+                (books[j] ** 2).sum(axis=1)[None, :] - 2 * dots, axis=1
+            )
+            code_rows[:, j] = c.astype(np.uint8)
+            err += ((xs - books[j][c]) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sse": pa.array([float(err.sum())], pa.float64()),
+                "codes": pa.array(
+                    [list({c.tobytes() for c in code_rows})], pa.list_(pa.binary())
+                ),
+            }
+        )
+
+    parts = (
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    n = sum(p["n"] for p in parts)
+    sse = sum(p["sse"] for p in parts)
+    distinct = len({bytes(c) for p in parts for c in p["codes"]})
+    return pa.table(
+        {
+            "n_vectors": pa.array([n], pa.int64()),
+            "code_bytes": pa.array([m], pa.int64()),
+            "distinct_codes": pa.array([distinct], pa.int64()),
+            "mean_sq_error": pa.array([f"{sse / max(n, 1):.4f}"], pa.string()),
+        }
+    )
+
+
+def adc_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 64,
+    rerank: int | None = None,
+):
+    """(query_id, vec_id, adc_dist) — top-k by ASYMMETRIC distance: the
+    query stays float, the corpus is scanned as uint8 codes against a
+    broadcast (n_queries, m, n_codes) lookup table of per-subspace squared
+    distances; per-batch local top-k, driver merges #batches × k rows.
+
+    With ``rerank=R`` the ADC scan produces an R-candidate shortlist per
+    query and the FINAL ranking re-scores only those R ids against their
+    exact float vectors (the paper's IVFADC+R refinement): the full corpus
+    is still touched only as uint8 codes; the exact read fetches R·|q|
+    rows by id.  adc_dist then carries the exact squared L2 (monotonic in
+    cosine on the unit-normalized vectors)."""
+    if query_ids is None:
+        query_ids = [0]
+    shortlist = max(k, rerank or 0)
+    books = train_codebooks(sf_dir, m, n_codes)
+    q = _normalize(load_query_vectors(sf_dir, query_ids))  # (nq, d)
+    mm, _, sub = books.shape
+    # luts[qi, j, c] = ||q_sub - codeword||²
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((q[qi, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(mm)
+                ]
+            )
+            for qi in range(len(q))
+        ]
+    )
+    luts_ref = ray.put(luts)
+    qids_arr = list(query_ids)
+    codes = encode(sf_dir, m, n_codes)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        lt = ray.get(luts_ref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        cm = np.stack(
+            [np.frombuffer(c, np.uint8) for c in b["code"].to_pylist()]
+        )  # (n, m)
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(qids_arr):
+            # gather: dist[i] = Σ_j lut[qi, j, code[i, j]]
+            dist = lt[qi][np.arange(cm.shape[1])[None, :], cm].sum(axis=1)
+            kk = min(shortlist, len(ids))
+            top = np.argpartition(dist, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc_dist": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    # merged driver-side: #batches × shortlist rows only
+    parts = codes.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows = sorted(
+        parts, key=lambda r: (r["query_id"], r["adc_dist"], r["vec_id"])
+    )
+    if rerank:
+        # exact refinement: fetch ONLY the shortlist ids' float vectors
+        # (R·|q| rows by id), score exactly, keep top-k per query
+        per_q: dict[int, list] = {}
+        for r in rows:
+            mine = per_q.setdefault(r["query_id"], [])
+            if len(mine) < rerank:
+                mine.append(r["vec_id"])
+        all_ids = sorted({v for vs in per_q.values() for v in vs})
+        vecs = _normalize(load_query_vectors(sf_dir, all_ids))
+        pos = {v: i for i, v in enumerate(all_ids)}
+        rows = []
+        for qi, qid in enumerate(qids_arr):
+            cand = per_q.get(qid, [])
+            d = ((vecs[[pos[v] for v in cand]] - q[qi][None, :]) ** 2).sum(
+                axis=1
+            )
+            rows.extend(
+                {"query_id": qid, "vec_id": v, "adc_dist": float(dd)}
+                for v, dd in zip(cand, d)
+            )
+        rows.sort(key=lambda r: (r["query_id"], r["adc_dist"], r["vec_id"]))
+    out_q, out_v, out_d = [], [], []
+    for qid in qids_arr:
+        mine = [r for r in rows if r["query_id"] == qid][:k]
+        out_q.extend([qid] * len(mine))
+        out_v.extend(r["vec_id"] for r in mine)
+        out_d.extend(round(r["adc_dist"], 4) for r in mine)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "adc_dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
+def pq_recall(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 64,
+    rerank: int | None = None,
+):
+    """(query_id, recall_at_k) — ADC top-k vs exact cosine top-k.  PQ
+    approximates L2, the exact oracle ranks by cosine; on the synthetic
+    unit-scale embeddings the two agree enough that recall gates the
+    encode/ADC path end to end (threshold pinned in tests)."""
+    from scrupyst_ray.pipelines.ann import brute_force_topk
+
+    if query_ids is None:
+        query_ids = [0, 7, 23, 41]
+    adc = adc_topk(sf_dir, query_ids, k, m, n_codes, rerank=rerank)
+    exact = brute_force_topk(sf_dir, query_ids, k)  # pa.Table (small)
+    got: dict[int, set] = {}
+    for qid, vid in zip(
+        adc["query_id"].to_pylist(), adc["vec_id"].to_pylist()
+    ):
+        got.setdefault(qid, set()).add(vid)
+    want: dict[int, set] = {}
+    for qid, vid in zip(
+        exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()
+    ):
+        want.setdefault(qid, set()).add(vid)
+    qs = sorted(want)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "recall_at_k": pa.array(
+                [len(got.get(q, set()) & want[q]) / len(want[q]) for q in qs],
+                pa.float64(),
+            ),
+        }
+    )
