@@ -107,7 +107,7 @@ def pq_code_stats(sf_dir: str, m: int = 8, n_codes: int = 64):
     mean_sq_error is the corpus-mean ‖x − decode(encode(x))‖², %.4f."""
     books_ref = ray.put(train_codebooks(sf_dir, m, n_codes))
 
-    def partial(b: pa.Table) -> pa.Table:
+    def per_vector(b: pa.Table) -> pa.Table:
         books = ray.get(books_ref)
         ids, x = _to_matrix(b)
         x = _normalize(x)
@@ -124,20 +124,20 @@ def pq_code_stats(sf_dir: str, m: int = 8, n_codes: int = 64):
             err += ((xs - books[j][c]) ** 2).sum(axis=1)
         return pa.table(
             {
-                "n": pa.array([len(x)], pa.int64()),
-                "sse": pa.array([float(err.sum())], pa.float64()),
-                "codes": pa.array(
-                    [list({c.tobytes() for c in code_rows})], pa.list_(pa.binary())
-                ),
+                "code": pa.array([c.tobytes() for c in code_rows], pa.binary()),
+                "se": pa.array(err, pa.float64()),
             }
         )
 
-    parts = (
-        _emb(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
-    )
-    n = sum(p["n"] for p in parts)
-    sse = sum(p["sse"] for p in parts)
-    distinct = len({bytes(c) for p in parts for c in p["codes"]})
+    # distinct codes via a code-keyed groupby (codes never collect on the
+    # driver — at corpus scale the code column is the whole index)
+    coded = _emb(sf_dir).map_batches(
+        per_vector, batch_format="pyarrow"
+    ).materialize()
+    agg = coded.sum("se")
+    n = coded.count()
+    sse = agg if isinstance(agg, float) else agg["sum(se)"]
+    distinct = coded.groupby("code").count().count()
     return pa.table(
         {
             "n_vectors": pa.array([n], pa.int64()),
