@@ -67,12 +67,34 @@ def fp_to_u64(fp: bytes) -> int:
     return int.from_bytes(fp[:8], "big")
 
 
+def fingerprint_payload(canonical_url: str) -> str:
+    """The canonical-JSON fingerprint payload for a GET/no-body request —
+    the exact string the reference SHA-1s (sorted-key ``json.dumps`` of
+    ``{method, url, body, headers}``, reference ``utils/request.py:87-96``)."""
+    return (
+        '{"body": "", "headers": {}, "method": "GET", "url": '
+        + json.dumps(canonical_url)
+        + "}"
+    )
+
+
+def fingerprint_sha256_hex(canonical_url: str) -> str:
+    """SHA-256 hex digest over the SAME canonical-JSON payload as the SHA-1
+    request fingerprint.  DuckDB has no ``sha1`` but does have ``sha256``, so
+    this parallel digest makes the canonicalization + payload assembly (the
+    hard part of M2) checkable by an independent SQL oracle, while the SHA-1
+    goldens keep byte parity with the reference."""
+    return hashlib.sha256(fingerprint_payload(canonical_url).encode()).hexdigest()
+
+
 def fingerprint_batch(
     batch: pa.Table,
     url_col: str = "url",
     urls_are_safe: bool = True,
+    with_sha256: bool = False,
 ) -> pa.Table:
-    """Append ``fp: binary`` and ``fp64: uint64`` columns to *batch*.
+    """Append ``fp: binary`` and ``fp64: uint64`` columns to *batch*
+    (plus ``fp256: string`` hex when *with_sha256* — the SQL-oracle digest).
 
     GET/no-body fast path (the only shape the frontier produces — the engine
     is a crawler, every frontier row is a GET with empty body, matching the
@@ -82,7 +104,9 @@ def fingerprint_batch(
     n = len(urls)
     fps = [b""] * n
     fp64 = np.empty(n, dtype=np.uint64)
+    fp256: list[str] = [""] * n if with_sha256 else []
     _sha1 = hashlib.sha1
+    _sha256 = hashlib.sha256
     _canon = canonicalize_url
     _safe = safe_url_string
     for i, u in enumerate(urls):
@@ -97,11 +121,14 @@ def fingerprint_batch(
         d = _sha1(payload.encode()).digest()  # noqa: S324
         fps[i] = d
         fp64[i] = int.from_bytes(d[:8], "big")
+        if with_sha256:
+            fp256[i] = _sha256(payload.encode()).hexdigest()
     out = batch
-    if "fp" in out.column_names:
-        out = out.drop_columns(["fp"])
-    if "fp64" in out.column_names:
-        out = out.drop_columns(["fp64"])
+    for col in ("fp", "fp64", "fp256"):
+        if col in out.column_names:
+            out = out.drop_columns([col])
     out = out.append_column("fp", pa.array(fps, type=pa.binary()))
     out = out.append_column("fp64", pa.array(fp64, type=pa.uint64()))
+    if with_sha256:
+        out = out.append_column("fp256", pa.array(fp256, type=pa.string()))
     return out

@@ -49,9 +49,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def load_query_vectors(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    """Fetch |query_ids| vectors only: ``vec_id IN (...)`` is pushed into the
+    parquet scan (row-group statistics + dictionary pruning), so the driver
+    reads O(matching row groups), never the whole embeddings table — at 10^9
+    vectors the old full-table read was a driver OOM for a 4-row need."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(q) for q in query_ids])],
+    )
     by_id = {i: v for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
     return np.asarray([by_id[q] for q in query_ids], dtype=np.float64)
 

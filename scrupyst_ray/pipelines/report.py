@@ -86,13 +86,13 @@ def curation_funnel(
     parts = ds.map_batches(partials, batch_format="pyarrow").materialize()
     counts = {
         r["stage"]: r["sum(n)"]
-        for r in parts.filter(lambda r: r["stage"] != "")
+        for r in parts.filter(expr="stage != ''")
         .groupby("stage")
         .aggregate(Sum("n"))
         .take_all()
     }
     n_distinct = (
-        parts.filter(lambda r: r["digest"] != "").groupby("digest").count()
+        parts.filter(expr="digest != ''").groupby("digest").count()
     ).count()
     rows = [counts.get(s, 0) for s in STAGES[:4]] + [n_distinct]
     return pa.table(
