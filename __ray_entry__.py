@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
+        "ann_ivf_recall_probe4": lambda sf: ann.ivf_recall_floor(
+            sf, [0, 7, 23, 41], 10, nprobe=4
+        ),
         "ann_range_search": lambda sf: ann.range_search(sf, [0, 7, 23, 41], 0.25),
         "embedding_covariance": ann.embedding_covariance,
         "pca_explained_variance": ann.pca_explained_variance,
@@ -980,6 +983,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
             FROM (VALUES (0, TRUE), (7, TRUE), (23, TRUE), (41, TRUE))
                  AS t(query_id, recall_ok)
+            ORDER BY query_id
+        """,
+        # PARTIAL-probe gate (data-dependent, unlike the full-probe
+        # losslessness row above): recall@10 at nprobe=4/16 must clear the
+        # pytest-measured 0.5 floor and the exact top-1 must survive — these
+        # rows go FALSE if cell routing / quantizer seeding / the
+        # probe-bounded read degrade (VERDICT r2 item 5)
+        "ann_ivf_recall_probe4": """
+            SELECT CAST(query_id AS BIGINT) AS query_id, recall_floor_ok,
+                   top1_ok
+            FROM (VALUES (0, TRUE, TRUE), (7, TRUE, TRUE), (23, TRUE, TRUE),
+                         (41, TRUE, TRUE))
+                 AS t(query_id, recall_floor_ok, top1_ok)
             ORDER BY query_id
         """,
         # Q6 shape: pure filter + one-row aggregate (predicate pushed into

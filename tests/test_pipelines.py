@@ -118,6 +118,20 @@ class TestANN:
         r = ivf_recall(SF, [0, 7, 23], 10)
         assert r["recall_ok"].to_pylist() == [True, True, True]
 
+    def test_ivf_partial_probe_floor_gate(self):
+        """The driver-visible partial-probe gate: recall@10 at nprobe=4/16
+        clears the measured floor and the exact top-1 always survives; a
+        deliberately starved probe (nprobe=0 is meaningless, so floor > 1)
+        must FAIL — proves the gate can go false."""
+        from scrupyst_ray.pipelines.ann import ivf_recall_floor
+
+        r = ivf_recall_floor(SF, [0, 7, 23, 41], 10, nprobe=4)
+        assert all(r["recall_floor_ok"].to_pylist())
+        assert all(r["top1_ok"].to_pylist())
+        # impossible floor → the boolean actually reacts to the data
+        r2 = ivf_recall_floor(SF, [0], 10, nprobe=4, floor=1.01)
+        assert r2["recall_floor_ok"].to_pylist() == [False]
+
     def test_ivf_store_partitions_on_disk(self):
         """The index is a one-time hive-partitioned store; a probe reads
         only its cells' files."""
