@@ -592,6 +592,29 @@ _SEGMENT_DEDUP_CTE = """
     )
 """
 
+# Same-source exact char-3-gram Jaccard pairs over the PER-SOURCE df-capped
+# shingle universe (df ≤ 64 within a source) — the oracle twin of
+# dedup.jaccard_pairs_by_source's source-folded inverted index (ends in
+# ``p(a, b, jac)``; prepend WITH / WITH RECURSIVE)
+_BYSOURCE_PAIR_CTE = """
+    s0 AS (SELECT doc_id, source,
+                  UNNEST(list_distinct([substr(text, i, 3)
+                      for i in range(1, greatest(length(text) - 1, 2))])) AS sh
+           FROM documents),
+    keepsh AS (SELECT source, sh FROM s0
+               GROUP BY source, sh HAVING COUNT(*) <= 64),
+    u AS (SELECT s0.doc_id, s0.source, s0.sh
+          FROM s0 JOIN keepsh USING (source, sh)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+    pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+           FROM u x JOIN u y ON x.source = y.source AND x.sh = y.sh
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+    p AS (SELECT a, b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+          FROM pr JOIN sz sa ON sa.doc_id = pr.a
+                  JOIN sz sb ON sb.doc_id = pr.b
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)
+"""
+
 # word 2-/3-gram occurrence stats per doc (shared by the gopher_* oracles)
 _GOPHER_CTE = """
     WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
@@ -1682,39 +1705,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, token, n AS n_est FROM r WHERE rn <= 10
             ORDER BY lang, n_est DESC, token
         """,
-        "jaccard_pairs_by_source": """
-            WITH s AS (
-                SELECT doc_id, source,
-                       list_distinct([substr(text, i, 3)
-                           for i in range(1, greatest(length(text) - 1, 2))])
-                           AS sh
-                FROM documents
-            )
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   printf('%.4f', len(list_intersect(a.sh, b.sh)) * 1.0 /
-                       len(list_distinct(list_concat(a.sh, b.sh)))) AS jaccard
-            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-            ORDER BY a, b
+        "jaccard_pairs_by_source": "WITH " + _BYSOURCE_PAIR_CTE + """
+            SELECT a, b, printf('%.4f', jac) AS jaccard
+            FROM p ORDER BY a, b
         """,
         # connected components over the SAME pair graph: min reachable id
         # per vertex via a recursive transitive-closure CTE (fine at oracle
         # scale; the Ray side is the log-rounds label-propagation version)
-        "neardup_clusters": """
-            WITH RECURSIVE s AS (
-                SELECT doc_id, source,
-                       list_distinct([substr(text, i, 3)
-                           for i in range(1, greatest(length(text) - 1, 2))])
-                           AS sh
-                FROM documents
-            ),
-            p AS (
-                SELECT a.doc_id AS a, b.doc_id AS b
-                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-            ),
+        "neardup_clusters": "WITH RECURSIVE " + _BYSOURCE_PAIR_CTE + """,
             e AS (
                 SELECT a AS src, b AS dst FROM p
                 UNION ALL SELECT b AS src, a AS dst FROM p
@@ -1727,20 +1725,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
             FROM reach GROUP BY v ORDER BY doc_id
         """,
-        "neardup_cluster_sizes": """
-            WITH RECURSIVE s AS (
-                SELECT doc_id, source,
-                       list_distinct([substr(text, i, 3)
-                           for i in range(1, greatest(length(text) - 1, 2))])
-                           AS sh
-                FROM documents
-            ),
-            p AS (
-                SELECT a.doc_id AS a, b.doc_id AS b
-                FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-            ),
+        "neardup_cluster_sizes": "WITH RECURSIVE " + _BYSOURCE_PAIR_CTE + """,
             e AS (
                 SELECT a AS src, b AS dst FROM p
                 UNION ALL SELECT b AS src, a AS dst FROM p
