@@ -102,6 +102,86 @@ def test_segment_uses_rank_order(ray_session, bpe_dir):
     assert len(seg) < len("lowest")  # at least one merge applied
 
 
+def _morph_corpus(tmp_path, name: str) -> tuple[str, list[str]]:
+    import random
+
+    rng = random.Random(13)
+    stems = ["".join(rng.choices("abcdefghijklmnop", k=rng.randint(4, 9)))
+             for _ in range(400)]
+    suffixes = ["", "s", "ing", "ed", "er", "est", "ly", "tion"]
+    words = [s + rng.choice(suffixes) for s in stems for _ in range(rng.randint(1, 6))]
+    texts = [" ".join(words[i::17]) for i in range(17)]
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d), texts
+
+
+def test_exact_batched_merges_match_sequential_at_scale(ray_session, tmp_path):
+    """Exact batching (the default) must stay BYTE-IDENTICAL to sequential
+    BPE at 256 merges while measurably beating one-merge-per-pass (the
+    creation guard caps the win at ~1.5-2× on Zipf-flat counts — that is the
+    price of bit-parity; the big win is exact=False below)."""
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    d, texts = _morph_corpus(tmp_path, "bpescale")
+    stats: dict = {}
+    got = learn_bpe(d, n_merges=256, stats=stats)
+    want = ref_bpe(texts, 256)
+    assert got == want
+    assert len(got) == 256
+    assert stats["supersteps"] <= int(256 * 0.75), stats
+
+
+def test_standard_batched_merges_bounded_rounds(ray_session, tmp_path):
+    """exact=False — standard top-K-non-conflicting batched BPE (the 32k-
+    vocab scale path): 256 merges in a BOUNDED number of supersteps, merge
+    SET near the sequential one (order may differ — the documented trade)."""
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    d, texts = _morph_corpus(tmp_path, "bpescale2")
+    stats: dict = {}
+    got = learn_bpe(d, n_merges=256, stats=stats, exact=False)
+    assert len(got) == 256
+    assert stats["supersteps"] <= 40, stats
+    want = ref_bpe(texts, 256)
+    got_set = {(l, r) for l, r, _ in got}
+    want_set = {(l, r) for l, r, _ in want}
+    overlap = len(got_set & want_set) / len(want_set)
+    assert overlap >= 0.8, overlap
+
+
+def test_nul_in_tokens_is_unambiguous(ray_session, tmp_path):
+    """NUL is \\S (a legal token char); pairs travel as two columns, so a
+    symbol containing NUL must not crash or misparse (ADVICE r2)."""
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    texts = ["a\x00b a\x00b a\x00b xy xy xy xy"] * 2
+    d = tmp_path / "bpenul"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = learn_bpe(str(d), n_merges=4)
+    want = ref_bpe(texts, 4)
+    assert got == want
+    assert any("\x00" in l or "\x00" in r for l, r, _ in got)
+
+
 def test_vocab_stats_consistent(ray_session, bpe_dir):
     from scrupyst_ray.pipelines.bpe import bpe_vocab_stats
 
