@@ -298,7 +298,11 @@ def write_partitioned(ds, out_dir: str, key_col: str):
                     "path": pa.array([], pa.string()),
                 }
             )
-        value = g[key_col][0].as_py()
+        # dirname derives from the ARROW string cast — the same
+        # representation the resume prune compares with (ADVICE r2: Python
+        # str() disagrees with Arrow cast for bool 'True'/'true' and float
+        # formatting, which silently defeated pruning for non-string keys)
+        value = pc.cast(g[key_col], pa.string())[0].as_py()
         pdir = os.path.join(out_dir, _partition_dirname(key_col, value))
         os.makedirs(pdir, exist_ok=True)
         marker = os.path.join(pdir, "_COMPLETE")

@@ -110,3 +110,31 @@ class TestWritePartitioned:
         os.remove(os.path.join(out, "source=c", "_COMPLETE"))
         back = read_partitioned(out, "source").take_all()
         assert sorted(r["source"] for r in back) == ["a", "a", "a", "b", "b"]
+
+    def test_nonstring_keys_prune_on_resume(self, tmp_path):
+        """bool/int/float keys: the dirname and the resume prune must share
+        one string representation (ADVICE r2 — Python str(True)='True' vs
+        Arrow cast 'true' silently defeated pruning), so a second run over
+        the same input writes NOTHING for any key type."""
+        import ray.data
+
+        from scrupyst_ray.stages.export import (
+            read_partitioned,
+            write_partitioned,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "flag": pa.array([True, False, True, False], pa.bool_()),
+                "ratio": pa.array([1.5, 2.0, 1.5, 2.0], pa.float64()),
+            }
+        )
+        for key in ("flag", "ratio"):
+            out = str(tmp_path / f"sink_{key}")
+            m1 = write_partitioned(ray.data.from_arrow(t), out, key)
+            assert len(m1) == 2
+            m2 = write_partitioned(ray.data.from_arrow(t), out, key)
+            assert m2 == []  # resume pruned every completed partition
+            back = read_partitioned(out, key).take_all()
+            assert sorted(r["doc_id"] for r in back) == [0, 1, 2, 3]
