@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sniff_types": webops.sniff_types,
         "request_headers": webops.request_headers,
         "httpcache_decisions": webops.httpcache_decisions,
+        "robots_decisions": webops.robots_decisions,
         "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
@@ -415,18 +416,17 @@ _DRIVER_WINDOW = [
     "sniff_types",
     "request_headers",
     "httpcache_decisions",
+    "robots_decisions",
     "middleware_quality_gate",
     "decompress_roundtrip",
     "referer_policy_matrix",
     "cookie_session",
-    "sitemap_entries",
     # exports
     "export_jsonl_roundtrip",
     "partitioned_export_roundtrip",
     # link graph analytics
     "pagerank",
     "hits_scores",
-    "degree_distribution",
 ]
 
 
@@ -2051,6 +2051,24 @@ def oracle_sql() -> dict[str, str]:
                    WHEN m = 0 THEN 'html' WHEN m = 1 THEN 'xml'
                    WHEN m = 2 THEN 'binary' WHEN m = 3 THEN 'text'
                    ELSE 'html' END AS kind
+            FROM p ORDER BY url
+        """
+        # ST4 robots decisions: the synthetic robots matrix keys off h % 5
+        # (mode 1 = UA-specific full block for our token; mode 0 = prefix
+        # disallow '/follow?n=1', i.e. every n starting with '1'; modes
+        # 2/3/4 allow) — the expected decision is derivable from the url
+        out["robots_decisions"] = f"""
+            WITH p AS (
+              SELECT url,
+                     CAST(regexp_extract(url, '^http://host(\\d+)\\.test/', 1)
+                          AS BIGINT) % 5 AS mode,
+                     regexp_extract(url, 'n=(\\d+)$', 1) AS n
+              FROM read_parquet('{corpus_glob}')
+              WHERE url NOT LIKE '%robots.txt')
+            SELECT url,
+                   CASE WHEN mode = 1 THEN FALSE
+                        WHEN mode = 0 AND n LIKE '1%' THEN FALSE
+                        ELSE TRUE END AS allowed
             FROM p ORDER BY url
         """
         # M2 over the live corpus URL set: every corpus URL is already

@@ -509,6 +509,65 @@ def fingerprint_sha256(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow").sort("url")
 
 
+def robots_decisions(sf_dir: str):
+    """ST4 robots kernel as a driver-visible query: parse each host's
+    robots.txt row out of the PAGES TABLE (the same lookup the crawl's
+    politeness shards do — the corpus *is* the robots store) and decide
+    ``allowed(url, UA)`` for every non-robots page.
+
+    Scale shape: the robots side is one row per HOST — broadcast once
+    (``ray.put``) and parsed per task, exactly the small-side-broadcast
+    pattern of SURVEY §2.4's robots lookup; the page stream only carries
+    ``url``.  SQL oracle: the synthetic robots matrix keys off ``h % 5``
+    (FIXTURES.md — UA-specific full block, prefix disallow ``/follow?n=1``,
+    empty, absent, BOM+garbage prefix), so the expected decision derives
+    from the url string alone — a wrong UA-group pick, prefix match, or
+    garbage-bytes decode flips rows FALSE."""
+    import pyarrow.compute as pc
+
+    from scrupyst_ray.config import CrawlConfig
+    from scrupyst_ray.functions.robots import parse_robots
+
+    ua = CrawlConfig().user_agent
+    pages = _pages(["url", "html"])
+    rob_rows = (
+        pages.map_batches(
+            lambda b: b.filter(pc.ends_with(b["url"], pattern="/robots.txt")),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded: one row per host
+    )
+    bodies = {
+        r["url"].split("//", 1)[1].split("/", 1)[0]: r["html"] for r in rob_rows
+    }
+    bodies_ref = ray.put(bodies)
+
+    def decide(b: pa.Table) -> pa.Table:
+        bmap = ray.get(bodies_ref)
+        rules = {h: parse_robots(body) for h, body in bmap.items()}
+        urls = b["url"].to_pylist()
+        out_u, out_a = [], []
+        for u in urls:
+            if u.endswith("/robots.txt"):
+                continue  # robots fetches bypass the filter (dont_obey)
+            host = u.split("//", 1)[1].split("/", 1)[0]
+            r = rules.get(host)
+            out_u.append(u)
+            out_a.append(r.allowed(u, ua) if r is not None else True)
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "allowed": pa.array(out_a, pa.bool_()),
+            }
+        )
+
+    return (
+        pages.select_columns(["url"])  # html never rides the decision stream
+        .map_batches(decide, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
 def middleware_quality_gate(sf_dir: str):
     """§2.10 middleware chains as a data-pipeline operator: the documents
     table through a priority-ordered batch-transform chain — a length gate
