@@ -14,11 +14,22 @@ filters (``_link_allowed``):
   IGNORED_EXTENSIONS (url_has_any_extension) · restrict_text
 region restriction (``restrict_regions``): the ``restrict_xpaths`` /
   ``restrict_css`` analog (``lxmlhtml.py:88-101,217-249``) expressible on
-  ``html.parser``: CSS-subset selectors ``tag``, ``#id``, ``.class``,
-  ``tag#id``, ``tag.class`` — an anchor qualifies when it or any open
-  ancestor element matches a selector (document-order stack, void elements
-  skipped).  Covers the reference's own restrict test fixtures
-  (``tests/test_linkextractors.py:226-292``, ported).
+  ``html.parser``:
+  - CSS subset: ``tag`` / ``#id`` / ``.class`` / ``tag#id`` / ``tag.class``
+    single steps, plus DESCENDANT chains (``div#main p``) — the common
+    ``restrict_css`` shapes (the ``>`` child combinator stays unsupported —
+    it needs adjacency, raise rather than silently approximate);
+  - XPath subset: ``//tag``, ``//*`` steps with one optional predicate —
+    ``[@id='v']``, ``[@class='v']`` (EXACT attribute equality, lxml
+    semantics), ``[contains(@class,'v')]`` (substring on the class string,
+    lxml semantics) — and ``//``-separated descendant chains
+    (``//div[@id='main']//a``), the common ``restrict_xpaths`` shapes.
+  An anchor qualifies when it or an open ancestor COMPLETES a chain matched
+  as an ordered subsequence of the ancestor path (greedy prefix automaton on
+  the element stack, void elements skipped).  Covers the reference's own
+  restrict test fixtures (``tests/test_linkextractors.py:226-292``, ported);
+  full XPath (axes, functions, positional predicates) remains env-blocked
+  on lxml/parsel, COVERAGE.md.
 dedup: first occurrence per ``canonicalize_url(url, keep_fragments=True)``
   (``lxmlhtml.py:56-57,154-157``, unique=True default)
 base_url: first ``<base href>`` in the first 4096 characters of the decoded
@@ -120,6 +131,66 @@ def _element_matches(
     return True
 
 
+# one step of a region chain: tag/None, id, class-TOKEN (CSS .class),
+# class-EXACT ([@class='v']), class-SUBSTRING ([contains(@class,'v')])
+_XPATH_STEP_RE = re.compile(
+    r"^([a-zA-Z][\w-]*|\*)"
+    r"(?:\[(?:"
+    r"@id\s*=\s*(?P<q1>['\"])(?P<id>[^'\"]*)(?P=q1)"
+    r"|@class\s*=\s*(?P<q2>['\"])(?P<cls>[^'\"]*)(?P=q2)"
+    r"|contains\(\s*@class\s*,\s*(?P<q3>['\"])(?P<sub>[^'\"]*)(?P=q3)\s*\)"
+    r")\])?$"
+)
+
+
+def _xpath_step(step: str) -> tuple:
+    m = _XPATH_STEP_RE.match(step.strip())
+    if m is None:
+        raise ValueError(f"unsupported region xpath step: {step!r}")
+    tag = m.group(1)
+    return (
+        None if tag == "*" else tag.lower(),
+        m.group("id"),
+        None,
+        m.group("cls"),
+        m.group("sub"),
+    )
+
+
+def parse_region_expr(expr: str) -> list[tuple]:
+    """One restrict expression → a DESCENDANT chain of element predicates
+    ``(tag, id, cls_token, cls_exact, cls_substr)``:
+
+    - ``//``-prefixed: XPath subset, steps split on ``//``;
+    - otherwise CSS subset, steps split on whitespace (descendant
+      combinator); ``>`` raises (child adjacency is not approximated).
+    """
+    expr = expr.strip()
+    if expr.startswith("//"):
+        return [_xpath_step(s) for s in expr[2:].split("//")]
+    if ">" in expr:
+        raise ValueError(f"unsupported region selector: {expr!r}")
+    steps = expr.split()
+    if not steps:
+        raise ValueError(f"unsupported region selector: {expr!r}")
+    return [parse_region_selector(s) + (None, None) for s in steps]
+
+
+def _pred_matches(pred: tuple, tag: str, attrs: dict[str, str | None]) -> bool:
+    ptag, pid, pcls_tok, pcls_exact, pcls_sub = pred
+    if ptag is not None and tag != ptag:
+        return False
+    if pid is not None and attrs.get("id") != pid:
+        return False
+    if pcls_tok is not None and pcls_tok not in (attrs.get("class") or "").split():
+        return False
+    if pcls_exact is not None and (attrs.get("class") or "") != pcls_exact:
+        return False
+    if pcls_sub is not None and pcls_sub not in (attrs.get("class") or ""):
+        return False
+    return True
+
+
 @dataclass
 class Link:
     url: str
@@ -147,8 +218,16 @@ class _AnchorParser(HTMLParser):
         self.anchors: list[list] = []  # [href, rel, [text chunks], in_region]
         self._open: list[list] = []  # stack of currently-open anchor entries
         self._collect_text = collect_text
-        self._regions = regions or []
-        self._stack: list[tuple[str, bool]] = []  # (tag, matched_a_region)
+        # regions: list of chains; a legacy 3-tuple selector is a 1-chain
+        self._regions: list[list[tuple]] = [
+            [r + (None, None)] if isinstance(r, tuple) else list(r)
+            for r in (regions or [])
+        ]
+        # greedy prefix automaton per chain: _prefix[i] = longest prefix of
+        # chain i matched as an ordered subsequence of the open-element path
+        self._prefix: list[int] = [0] * len(self._regions)
+        # stack entry: (tag, [(chain_idx, old_prefix)...], n_completed_here)
+        self._stack: list[tuple[str, list[tuple[int, int]], int]] = []
         self._region_depth = 0
         self._tags = tags
         self._attrs = attrs
@@ -156,8 +235,12 @@ class _AnchorParser(HTMLParser):
     def _in_region(self, tag: str, d: dict[str, str | None]) -> bool:
         if not self._regions:
             return True
-        return self._region_depth > 0 or any(
-            _element_matches(s, tag, d) for s in self._regions
+        if self._region_depth > 0:
+            return True
+        # the element itself may complete a chain (e.g. '//a', 'a.nav')
+        return any(
+            self._prefix[i] == len(c) - 1 and _pred_matches(c[-1], tag, d)
+            for i, c in enumerate(self._regions)
         )
 
     def _emit(
@@ -186,10 +269,17 @@ class _AnchorParser(HTMLParser):
             if entry is not None and tag == "a" and self._collect_text:
                 self._open.append(entry)
         if self._regions and tag not in _VOID_ELEMENTS:
-            matched = any(_element_matches(s, tag, d) for s in self._regions)
-            self._stack.append((tag, matched))
-            if matched:
-                self._region_depth += 1
+            deltas: list[tuple[int, int]] = []
+            completed = 0
+            for i, chain in enumerate(self._regions):
+                p = self._prefix[i]
+                if p < len(chain) and _pred_matches(chain[p], tag, d):
+                    deltas.append((i, p))
+                    self._prefix[i] = p + 1
+                    if p + 1 == len(chain):
+                        completed += 1
+            self._stack.append((tag, deltas, completed))
+            self._region_depth += completed
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in self._tags:
@@ -199,12 +289,14 @@ class _AnchorParser(HTMLParser):
         if tag == "a" and self._open:
             self._open.pop()
         if self._regions and tag not in _VOID_ELEMENTS:
-            # lenient recovery: close up to the nearest matching open tag
+            # lenient recovery: close up to the nearest matching open tag,
+            # restoring chain-prefix state innermost-first
             for i in range(len(self._stack) - 1, -1, -1):
                 if self._stack[i][0] == tag:
-                    for _, matched in self._stack[i:]:
-                        if matched:
-                            self._region_depth -= 1
+                    for _, deltas, completed in reversed(self._stack[i:]):
+                        self._region_depth -= completed
+                        for ci, old_p in deltas:
+                            self._prefix[ci] = old_p
                     del self._stack[i:]
                     break
 
@@ -239,7 +331,7 @@ class LinkExtractorConfig:
         self._allow_res = [re.compile(r) for r in self.allow]
         self._deny_res = [re.compile(r) for r in self.deny]
         self._restrict_res = [re.compile(r) for r in self.restrict_text]
-        self._region_sels = [parse_region_selector(s) for s in self.restrict_regions]
+        self._region_sels = [parse_region_expr(s) for s in self.restrict_regions]
 
     def link_allowed(self, link: Link) -> bool:
         # mirrors LxmlLinkExtractor._link_allowed (lxmlhtml.py:217-249)

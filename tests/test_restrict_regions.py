@@ -133,3 +133,95 @@ def test_selector_parse():
     assert parse_region_selector("div#x") == ("div", "x", None)
     assert parse_region_selector(".cls") == (None, None, "cls")
     assert parse_region_selector("NAV") == ("nav", None, None)
+
+
+class TestXPathSubsetChains:
+    """Round-3 upgrade: the common restrict_xpaths/restrict_css shapes —
+    //-separated descendant chains and @id/@class predicates (lxml
+    semantics: @class= is EXACT attr equality, contains() is substring)."""
+
+    def test_xpath_id_predicate(self):
+        # identical to the reference test_restrict_xpaths expression
+        cfg = LinkExtractorConfig(restrict_regions=['//div[@id="subwrapper"]'])
+        assert urls(cfg) == [
+            "http://example.com/sample1.html",
+            "http://example.com/sample2.html",
+        ]
+
+    def test_xpath_descendant_chain(self):
+        # wrapper//subwrapper chain: same two anchors
+        cfg = LinkExtractorConfig(
+            restrict_regions=["//div[@id='wrapper']//div[@id='subwrapper']"]
+        )
+        assert urls(cfg) == [
+            "http://example.com/sample1.html",
+            "http://example.com/sample2.html",
+        ]
+
+    def test_xpath_star_and_anchor_step(self):
+        # chain ending at the <a> elements themselves
+        cfg = LinkExtractorConfig(restrict_regions=["//*[@id='subwrapper']//a"])
+        assert urls(cfg) == ["http://example.com/sample2.html"]
+
+    def test_xpath_chain_requires_order(self):
+        # subwrapper//wrapper never matches (wrong nesting order)
+        cfg = LinkExtractorConfig(
+            restrict_regions=["//div[@id='subwrapper']//div[@id='wrapper']"]
+        )
+        assert urls(cfg) == []
+
+    def test_css_descendant_chain(self):
+        cfg = LinkExtractorConfig(restrict_regions=["#wrapper #subwrapper"])
+        assert urls(cfg) == [
+            "http://example.com/sample1.html",
+            "http://example.com/sample2.html",
+        ]
+
+    def test_class_exact_vs_token(self):
+        html = (
+            "<html><body>"
+            "<div class='nav main'><a href='a.html'>a</a></div>"
+            "<div class='nav'><a href='b.html'>b</a></div>"
+            "</body></html>"
+        )
+        base = "http://x.test/"
+        exact = LinkExtractorConfig(restrict_regions=["//div[@class='nav']"])
+        got = [l.url for l in extract_links(html, base, config=exact)]
+        assert got == ["http://x.test/b.html"]  # exact attr equality
+        token = LinkExtractorConfig(restrict_regions=["div.nav"])
+        got = [l.url for l in extract_links(html, base, config=token)]
+        assert got == ["http://x.test/a.html", "http://x.test/b.html"]
+        sub = LinkExtractorConfig(
+            restrict_regions=["//div[contains(@class,'main')]"]
+        )
+        got = [l.url for l in extract_links(html, base, config=sub)]
+        assert got == ["http://x.test/a.html"]
+
+    def test_chain_needs_two_distinct_elements(self):
+        # one element matching both steps must NOT complete the chain
+        html = (
+            "<html><body><div class='a b'><a href='x.html'>x</a></div>"
+            "<div class='a'><div class='b'><a href='y.html'>y</a></div></div>"
+            "</body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["div.a div.b"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/y.html"]
+
+    def test_unsupported_forms_raise(self):
+        for expr in ("//div[1]", "//div/a", "div > a", "//a[text()='x']"):
+            with pytest.raises(ValueError):
+                LinkExtractorConfig(restrict_regions=[expr])
+
+    def test_prefix_state_restores_after_close(self):
+        # after leaving a partial-chain subtree, later anchors outside the
+        # chain must not leak in-region state
+        html = (
+            "<html><body>"
+            "<div id='m'><p><a href='in.html'>in</a></p></div>"
+            "<p><a href='out.html'>out</a></p>"
+            "</body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["//div[@id='m']//p"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/in.html"]
