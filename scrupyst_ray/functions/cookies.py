@@ -19,10 +19,13 @@ In the superstep crawl this state is per-host-shard (the same actor that
 owns politeness state owns the host's jars); the query surface replays a
 deterministic event log per jar (``pipelines/webops.py::cookie_session``).
 
-Env note: the reference additionally rejects public-suffix ``Domain``
-attributes via tldextract (``cookies.py:35-37,64-72``); tldextract is not in
-this container, so that single guard is omitted — behavior differs only for
-cookies that try to set a Domain equal to a public suffix.
+Public-suffix guard: the reference rejects public-suffix ``Domain``
+attributes via tldextract (``cookies.py:35-37,64-72``).  tldextract is not
+in this container; round 3 carries the same mechanism on a bundled PSL
+snapshot (``functions/public_suffix.py``): a Set-Cookie whose Domain is a
+public suffix is DROPPED unless it names the request host itself, in which
+case the Domain attribute is stripped (host-only cookie, RFC 6265 §5.3
+step 5).  Exotic registry suffixes outside the snapshot fail open.
 
 Session-cookie expiry, domain matching, path scoping, the Secure flag and
 Cookie-header ordering (longest path first) all come from the stdlib policy,
@@ -104,6 +107,38 @@ class _WrappedResponse:
         return self._url
 
 
+import re
+
+_DOMAIN_ATTR_RE = re.compile(
+    r";\s*domain\s*=\s*\"?([^;\"\s]*)\"?", re.IGNORECASE
+)
+
+
+def _guard_public_suffix_domains(
+    url: str, set_cookie_headers: list[str]
+) -> list[str]:
+    """Reference public-suffix guard (``cookies.py:60-72``
+    ``_process_cookies``): a Set-Cookie whose dot-stripped Domain attribute
+    is a public suffix is DROPPED unless it equals the request host, in
+    which case the Domain is normalized to the host and the cookie proceeds
+    through the jar like any other (exactly ``cookie.domain =
+    request_domain`` in the reference — the stdlib policy then decides
+    matching)."""
+    from scrupyst_ray.functions.public_suffix import is_public_suffix
+
+    host = (urlparse(url).hostname or "").lower()
+    out: list[str] = []
+    for h in set_cookie_headers:
+        m = _DOMAIN_ATTR_RE.search(h)
+        if m is None or not is_public_suffix(m.group(1)):
+            out.append(h)
+            continue
+        if m.group(1).lstrip(".").lower() == host:
+            out.append(h[: m.start()] + f"; Domain={host}" + h[m.end():])
+        # else: rejected (cookie would blanket a whole registry suffix)
+    return out
+
+
 class CookieJarState:
     """One cookie jar (reference per-``cookiejar``-key jar)."""
 
@@ -111,7 +146,13 @@ class CookieJarState:
         self.jar = CookieJar(policy=DefaultCookiePolicy())
 
     def extract(self, url: str, set_cookie_headers: list[str]) -> None:
-        """Ingest a response's Set-Cookie headers into the jar."""
+        """Ingest a response's Set-Cookie headers into the jar (after the
+        public-suffix Domain guard — see module docstring)."""
+        if not set_cookie_headers:
+            return
+        set_cookie_headers = _guard_public_suffix_domains(
+            url, set_cookie_headers
+        )
         if not set_cookie_headers:
             return
         req = _WrappedRequest(url)

@@ -66,3 +66,49 @@ class TestCookieSessionQuery:
         assert by_key[(0, 10)] == "lang=en"  # Domain matches subdomain
         assert by_key[(1, 3)] is None  # Max-Age=0 deleted
         assert len(rows) == len(webops.COOKIE_EVENTS)
+
+
+class TestPublicSuffixGuard:
+    """Round-3: the reference's tldextract Domain guard on the bundled PSL
+    snapshot (functions/public_suffix.py)."""
+
+    def test_public_suffix_domain_rejected(self):
+        from scrupyst_ray.functions.cookies import CookieJarState
+
+        jar = CookieJarState()
+        jar.extract(
+            "http://sub.example.com/",
+            ["a=1; Domain=com", "b=2; Domain=co.uk", "c=3; Domain=example.com"],
+        )
+        hdr = jar.header_for("http://sub.example.com/") or ""
+        assert "a=1" not in hdr and "b=2" not in hdr
+        assert "c=3" in hdr
+
+    def test_host_equal_suffix_kept(self):
+        from scrupyst_ray.functions.cookies import CookieJarState
+
+        # visiting github.io itself: Domain equals the request host, so the
+        # reference normalizes the Domain and keeps the cookie
+        # (cookies.py:68-70 `cookie.domain = request_domain`)
+        jar = CookieJarState()
+        jar.extract("http://github.io/", ["s=1; Domain=github.io; Path=/"])
+        assert "s=1" in (jar.header_for("http://github.io/") or "")
+
+    def test_private_section_suffix_rejected_for_subdomains(self):
+        from scrupyst_ray.functions.cookies import CookieJarState
+
+        jar = CookieJarState()
+        jar.extract("http://alice.github.io/", ["t=1; Domain=github.io"])
+        assert jar.header_for("http://bob.github.io/") is None
+        assert jar.header_for("http://alice.github.io/") is None  # rejected
+
+    def test_is_public_suffix_rules(self):
+        from scrupyst_ray.functions.public_suffix import is_public_suffix
+
+        assert is_public_suffix("com")
+        assert is_public_suffix(".ORG")
+        assert is_public_suffix("co.uk")
+        assert is_public_suffix("github.io")
+        assert not is_public_suffix("example.com")
+        assert not is_public_suffix("weird.registry.example")
+        assert not is_public_suffix("")
