@@ -655,12 +655,12 @@ def top_terms_by_lang_cms(sf_dir: str, k: int = 10, candidates_per_batch: int = 
 
     parts = ds.map_batches(partials, batch_format="pyarrow")
     cells_t = collect_table(
-        parts.filter(lambda r: r["kind"] == 0)
+        parts.filter(expr="kind == 0")
         .groupby(["lang", "row", "col"])
         .sum("n")
     )
     cand_t = collect_table(
-        parts.filter(lambda r: r["kind"] == 1)
+        parts.filter(expr="kind == 1")
         .groupby(["lang", "token"])
         .max("n")
     )
