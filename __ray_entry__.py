@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training (Sennrich '16) — iterative argmax, so
         # rows-only; pytest-gated vs a pure-Python reference implementation
         "bpe_merges": bpe.bpe_merges,
+        "bpe_merges_batched": bpe.bpe_merges_batched,
         "bpe_vocab_stats": bpe.bpe_vocab_stats,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,

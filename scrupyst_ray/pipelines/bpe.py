@@ -300,6 +300,22 @@ def bpe_merges(sf_dir: str, n_merges: int = 16):
     )
 
 
+def bpe_merges_batched(sf_dir: str, n_merges: int = 64):
+    """(rank, left, right, count) via the STANDARD-batched scale path
+    (``exact=False`` — top-K non-conflicting merges per superstep, the
+    32k-vocab configuration).  Rows-only; round-count and merge-set-overlap
+    bounds are pytest-gated (tests/test_bpe.py)."""
+    rows = learn_bpe(sf_dir, n_merges, exact=False)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(rows)), pa.int64()),
+            "left": pa.array([r[0] for r in rows], pa.string()),
+            "right": pa.array([r[1] for r in rows], pa.string()),
+            "count": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def bpe_segment(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
     """Tokenize one word with a learned merge table (merges apply in rank
     order — the standard BPE encoder)."""
