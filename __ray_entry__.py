@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # -- crawl engine operators (synthetic page corpus; rows-only) --
         "crawl_bfo_order": _q_crawl_order,
+        "crawl_resume_equivalence": webops.crawl_resume_equivalence,
         "page_text_extract": _q_page_text,
         "link_edges": _q_link_edges,
         "request_fingerprints": _q_fingerprints,
@@ -371,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _DRIVER_WINDOW = [
     # crawl engine core
     "crawl_bfo_order",
+    "crawl_resume_equivalence",
     "page_text_extract",
     "link_edges",
     "request_fingerprints",
@@ -423,7 +425,6 @@ _DRIVER_WINDOW = [
     "referer_policy_matrix",
     "cookie_session",
     # exports
-    "export_jsonl_roundtrip",
     "partitioned_export_roundtrip",
     # link graph analytics
     "pagerank",
@@ -2053,6 +2054,16 @@ def oracle_sql() -> dict[str, str]:
                    WHEN m = 2 THEN 'binary' WHEN m = 3 THEN 'text'
                    ELSE 'html' END AS kind
             FROM p ORDER BY url
+        """
+        # kill-resume equivalence: the engine compares a resumed run's
+        # artifacts against an uninterrupted run's; each boolean is
+        # falsifiable (any checkpoint/restore divergence flips it)
+        out["crawl_resume_equivalence"] = """
+            SELECT invariant, ok
+            FROM (VALUES ('order_identical', TRUE),
+                         ('resumed_from_checkpoint', TRUE),
+                         ('seen_set_identical', TRUE)) AS t(invariant, ok)
+            ORDER BY invariant
         """
         # ST4 robots decisions: the synthetic robots matrix keys off h % 5
         # (mode 1 = UA-specific full block for our token; mode 0 = prefix

@@ -509,6 +509,82 @@ def fingerprint_sha256(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow").sort("url")
 
 
+def crawl_resume_equivalence(sf_dir: str):
+    """Driver-visible kill-resume gate (the north rule's resumability
+    pillar): run the BFO crawl uninterrupted for 5 rounds, run it again
+    killed after round 2 and resumed by a FRESH engine (fresh actors, state
+    reloaded from the round-1 checkpoint), then compare the artifacts —
+    (invariant, ok) rows whose oracle is literal TRUE:
+
+    - ``order_identical``: the (round, url) crawl-order artifact over ALL
+      rounds of the resumed workdir equals the uninterrupted run's;
+    - ``seen_set_identical``: the URL-seen fingerprint set (union of the
+      per-shard round deltas) is bit-for-bit equal;
+    - ``resumed_from_checkpoint``: the resuming engine actually observed
+      round 1 as the last complete round (i.e. the comparison exercised a
+      real resume, not a rerun).
+
+    Fresh workdirs every call (a resume-equivalence check must never itself
+    be resumed); wall cost ≈ two smoke crawls (~5 s)."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from scrupyst_ray.config import CrawlConfig
+    from scrupyst_ray.pipelines.crawl import CrawlEngine, CrawlResult
+    from scrupyst_ray.sources.corpus import corpus_cache_dir, write_corpus
+
+    H, P = 5, 40
+    corpus = corpus_cache_dir("/tmp", H, P)
+    write_corpus(corpus, H=H, P=P)
+    pages = os.path.join(corpus, "pages")
+    seeds = os.path.join(corpus, "seeds.parquet")
+    cfg = CrawlConfig(
+        seen_shards=4, fetch_buckets=4, concurrent_requests_per_domain=4
+    )
+
+    def _order(wd: str) -> list[tuple[int, str]]:
+        t = CrawlResult(wd, [], "").crawl_order_table()
+        return list(zip(t["round"].to_pylist(), t["url"].to_pylist()))
+
+    def _seen(wd: str) -> set[bytes]:
+        fps: set[bytes] = set()
+        for f in glob.glob(os.path.join(wd, "seen", "*", "round=*.parquet")):
+            fps.update(pq.read_table(f)["fp"].to_pylist())
+        return fps
+
+    root = "/tmp/scrupyst_resume_eq"
+    shutil.rmtree(root, ignore_errors=True)
+    full_wd, res_wd = os.path.join(root, "full"), os.path.join(root, "resumed")
+
+    eng = CrawlEngine.for_corpus(pages, full_wd, cfg)
+    eng.init_frontier(seeds)
+    eng.run(max_rounds=5)
+    eng.shutdown_actors()
+
+    eng = CrawlEngine.for_corpus(pages, res_wd, cfg)
+    eng.init_frontier(seeds)
+    eng.run(max_rounds=2)
+    eng.shutdown_actors()  # "kill"
+    eng = CrawlEngine(eng.store_dir, res_wd, cfg)  # fresh engine + actors
+    resumed_from = eng.last_complete_round()
+    eng.run(max_rounds=5)
+    eng.shutdown_actors()
+
+    checks = [
+        ("order_identical", _order(res_wd) == _order(full_wd) != []),
+        ("resumed_from_checkpoint", resumed_from == 1),
+        ("seen_set_identical", _seen(res_wd) == _seen(full_wd) != set()),
+    ]
+    return pa.table(
+        {
+            "invariant": pa.array([c for c, _ in checks], pa.string()),
+            "ok": pa.array([bool(v) for _, v in checks], pa.bool_()),
+        }
+    )
+
+
 def robots_decisions(sf_dir: str):
     """ST4 robots kernel as a driver-visible query: parse each host's
     robots.txt row out of the PAGES TABLE (the same lookup the crawl's

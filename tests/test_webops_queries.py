@@ -86,3 +86,16 @@ class TestWebopsQueries:
             "/moved?" in r["url"] or "/refreshed?" in r["url"] for r in redirects
         )
         assert any("/refreshed?" in r["url"] for r in redirects)
+
+
+def test_crawl_resume_equivalence_query(ray_session):
+    """The driver-visible kill-resume gate: all three invariants must hold
+    (order, checkpoint-resume, seen-set) on a fresh pair of runs."""
+    from scrupyst_ray.pipelines.webops import crawl_resume_equivalence
+
+    t = crawl_resume_equivalence("/root/testdata/sf0.001")
+    assert dict(zip(t["invariant"].to_pylist(), t["ok"].to_pylist())) == {
+        "order_identical": True,
+        "resumed_from_checkpoint": True,
+        "seen_set_identical": True,
+    }
