@@ -190,3 +190,38 @@ def test_vocab_stats_consistent(ray_session, bpe_dir):
     assert row["encoded_symbols"] < row["char_symbols"]
     assert row["n_merges"] == 8
     assert row["corpus_tokens"] == sum(len(d.split()) for d in DOCS)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_exact_batching_property_random_corpora(ray_session, tmp_path, seed):
+    """Property: exact-mode batched learning equals sequential BPE on
+    arbitrary corpora (defends the conflict-break + creation-guard proof,
+    not just the one morphology corpus)."""
+    import random
+
+    from scrupyst_ray.pipelines.bpe import learn_bpe
+
+    rng = random.Random(seed)
+    alphabet = "abcdef"
+    words = [
+        "".join(rng.choices(alphabet, k=rng.randint(1, 7)))
+        for _ in range(rng.randint(50, 150))
+    ]
+    texts = [
+        " ".join(rng.choices(words, k=rng.randint(5, 40))) for _ in range(9)
+    ]
+    d = tmp_path / f"bpeprop{seed}"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    # small window forces the cutoff-marker path to participate too
+    got = learn_bpe(str(d), n_merges=64, window=16)
+    want = ref_bpe(texts, 64)
+    assert got == want, seed
