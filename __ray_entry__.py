@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- deduplication --
         "dedup_exact": dedup.exact_dedup_keep,
         "minhash_pairs": dedup.minhash_pairs,
+        "minhash_recall": dedup.minhash_recall,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -388,7 +389,7 @@ _DRIVER_WINDOW = [
     "jaccard_pairs_by_source",
     "neardup_clusters",
     "neardup_cluster_sizes",
-    "minhash_pairs",
+    "minhash_recall",
     "simhash_pairs",
     # corpus curation
     "segment_dedup",
@@ -948,6 +949,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT b FROM j WHERE jac >= 0.4)
             ORDER BY doc_id
+        """,
+        # MinHash-LSH quality gate: n_exact_pairs recomputed independently
+        # (same inverted-index CTE), recall_floor_ok flips FALSE if the
+        # signature math / banding / candidate shuffle drop true pairs
+        "minhash_recall": _JACCARD_EXACT_CTE + """
+            SELECT * FROM (
+                SELECT '0.50' AS threshold,
+                       CAST((SELECT COUNT(*) FROM j WHERE jac >= 0.5)
+                            AS BIGINT) AS n_exact_pairs,
+                       TRUE AS recall_floor_ok
+                UNION ALL
+                SELECT '0.70',
+                       CAST((SELECT COUNT(*) FROM j WHERE jac >= 0.7)
+                            AS BIGINT),
+                       TRUE)
+            ORDER BY threshold
         """,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

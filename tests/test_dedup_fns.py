@@ -98,3 +98,15 @@ class TestJaccard:
         assert jaccard_tokens(DOC_A, DOC_C) < 0.05
         j = jaccard_tokens(DOC_A, DOC_B)
         assert 0.6 < j < 1.0
+
+
+def test_minhash_recall_gate(ray_session):
+    """The LSH quality gate holds at both thresholds on the driver corpus,
+    and an impossible floor proves the boolean reacts to the data."""
+    from scrupyst_ray.pipelines.dedup import minhash_recall
+
+    t = minhash_recall("/root/testdata/sf0.001")
+    assert t["recall_floor_ok"].to_pylist() == [True, True]
+    assert all(n > 0 for n in t["n_exact_pairs"].to_pylist())
+    t2 = minhash_recall("/root/testdata/sf0.001", thresholds=(0.5,), floor=1.01)
+    assert t2["recall_floor_ok"].to_pylist() == [False]
