@@ -120,10 +120,12 @@ def _guard_public_suffix_domains(
     """Reference public-suffix guard (``cookies.py:60-72``
     ``_process_cookies``): a Set-Cookie whose dot-stripped Domain attribute
     is a public suffix is DROPPED unless it equals the request host, in
-    which case the Domain is normalized to the host and the cookie proceeds
-    through the jar like any other (exactly ``cookie.domain =
-    request_domain`` in the reference — the stdlib policy then decides
-    matching)."""
+    which case the Domain attribute is STRIPPED so the stdlib jar stores a
+    host-only cookie — the effective behavior of the reference's post-parse
+    ``cookie.domain = request_domain`` (exact-host match, no subdomain
+    blanket).  Rewriting to ``Domain=<host>`` instead would make the stdlib
+    policy treat it as a domain cookie and send it to subdomains (e.g. a
+    ``github.io`` cookie leaking to ``alice.github.io``)."""
     from scrupyst_ray.functions.public_suffix import is_public_suffix
 
     host = (urlparse(url).hostname or "").lower()
@@ -134,7 +136,7 @@ def _guard_public_suffix_domains(
             out.append(h)
             continue
         if m.group(1).lstrip(".").lower() == host:
-            out.append(h[: m.start()] + f"; Domain={host}" + h[m.end():])
+            out.append(h[: m.start()] + h[m.end():])
         # else: rejected (cookie would blanket a whole registry suffix)
     return out
 
@@ -143,7 +145,17 @@ class CookieJarState:
     """One cookie jar (reference per-``cookiejar``-key jar)."""
 
     def __init__(self) -> None:
-        self.jar = CookieJar(policy=DefaultCookiePolicy())
+        # DomainStrictNonDomain = a cookie with NO explicit Domain attribute
+        # (host-only, incl. those host-normalized by the public-suffix
+        # guard) is returned only to the exact host that set it — RFC 6265
+        # host-only semantics.  Stdlib's default Netscape heuristic would
+        # suffix-match host-only cookies onto subdomains, which is how a
+        # guard-normalized github.io cookie could leak to alice.github.io.
+        self.jar = CookieJar(
+            policy=DefaultCookiePolicy(
+                strict_ns_domain=DefaultCookiePolicy.DomainStrictNonDomain
+            )
+        )
 
     def extract(self, url: str, set_cookie_headers: list[str]) -> None:
         """Ingest a response's Set-Cookie headers into the jar (after the

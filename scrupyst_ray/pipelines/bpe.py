@@ -107,7 +107,13 @@ def _select_exact_batch(
     and why both modes exist.
 
     rows must be ranked by (count desc, left+'\\x00'+right asc) and contain
-    only counts > cutoff."""
+    only counts > cutoff — enforced below (the creation-guard proof depends
+    on it: hidden pairs must all have count ≤ cutoff)."""
+    if rows and rows[-1][2] <= cutoff:
+        raise ValueError(
+            "_select_exact_batch: rows must be pre-filtered to counts > "
+            f"cutoff (min count {rows[-1][2]} <= cutoff {cutoff})"
+        )
     max_n_right: dict[str, int] = {}
     max_n_left: dict[str, int] = {}
     for l, r, n in rows:

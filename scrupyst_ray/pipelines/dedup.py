@@ -407,15 +407,23 @@ def ngram_jaccard_pairs(sf_dir: str, k: int = 3, threshold: float = 0.4):
 
 
 def jaccard_allpairs_exact(
-    sf_dir: str, k: int = 3, threshold: float = 0.4, max_df: int = 64
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 64,
+    float_col: bool = False,
 ):
     return jaccard_allpairs_for(
-        _docs(sf_dir, ["doc_id", "text"]), k, threshold, max_df
+        _docs(sf_dir, ["doc_id", "text"]), k, threshold, max_df, float_col
     )
 
 
 def jaccard_allpairs_for(
-    docs, k: int = 3, threshold: float = 0.4, max_df: int = 64
+    docs,
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 64,
+    float_col: bool = False,
 ):
     """(a, b, jaccard) — EXACT k-shingle Jaccard for every document pair
     with j ≥ threshold, via a distributed shingle inverted index (no LSH,
@@ -460,15 +468,21 @@ def jaccard_allpairs_for(
         )
 
     stream = docs.map_batches(shingle_rows, batch_format="pyarrow")
-    return _jaccard_pairs_from_shingle_stream(stream, threshold, max_df)
+    return _jaccard_pairs_from_shingle_stream(stream, threshold, max_df, float_col)
 
 
-def _jaccard_pairs_from_shingle_stream(stream, threshold: float, max_df: int):
+def _jaccard_pairs_from_shingle_stream(
+    stream, threshold: float, max_df: int, float_col: bool = False
+):
     """Shared inverted-index core: *stream* is a Dataset of
     (doc_id:int64, sh:int64 shingle hash, bucket:int64) rows — the caller
     chooses the shingle definition (token k-shingles, char 3-grams, a
     blocking key folded into the hash…); this computes the exact df-capped
-    Jaccard pairs (a, b, jaccard≥threshold as '%.4f' strings, sorted)."""
+    Jaccard pairs (a, b, jaccard≥threshold as '%.4f' strings, sorted).
+    ``float_col=True`` appends the UNROUNDED float64 jaccard as ``jac_f64``
+    — consumers that re-threshold (minhash_recall) must use it, not a
+    parse-back of the display string, or a pair whose true jaccard rounds
+    up across a threshold flips the count vs the full-precision oracle."""
 
     def markers_and_pairs(g: pa.Table) -> pa.Table:
         # one vectorized pass over ONE bucket's (sh, doc_id) rows: sort by
@@ -525,15 +539,14 @@ def _jaccard_pairs_from_shingle_stream(stream, threshold: float, max_df: int):
         jac = inter_n / (na + nb - inter_n)
         keep = jac >= threshold
         mask = pa.array(keep)
-        return pa.table(
-            {
-                "a": b["a"].combine_chunks().filter(mask),
-                "b": b["b"].combine_chunks().filter(mask),
-                "jaccard": pa.array(
-                    [f"{v:.4f}" for v in jac[keep]], pa.string()
-                ),
-            }
-        )
+        cols = {
+            "a": b["a"].combine_chunks().filter(mask),
+            "b": b["b"].combine_chunks().filter(mask),
+            "jaccard": pa.array([f"{v:.4f}" for v in jac[keep]], pa.string()),
+        }
+        if float_col:
+            cols["jac_f64"] = pa.array(jac[keep], pa.float64())
+        return pa.table(cols)
 
     return j.map_batches(finish, batch_format="pyarrow").sort(["a", "b"])
 
@@ -559,21 +572,20 @@ def minhash_recall(
     ``a:b`` key — candidate and exact pair sets never land on the driver;
     only two scalars per threshold do."""
     exact = jaccard_allpairs_exact(
-        sf_dir, k, min(thresholds), max_df
+        sf_dir, k, min(thresholds), max_df, float_col=True
     ).materialize()
     cand = minhash_pairs(sf_dir, threshold=0.0).materialize()
 
     def keyed(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         key = [
             f"{a}:{b}" for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
         ]
         out = pa.table({"pair_key": pa.array(key, pa.string())})
-        if "jaccard" in t.column_names:
-            out = out.append_column(
-                "jac", pc.cast(t["jaccard"], pa.float64())
-            )
+        if "jac_f64" in t.column_names:
+            # UNROUNDED jaccard for the threshold filter — parsing the
+            # '%.4f' display string back would disagree with the oracle's
+            # full-precision `jac >= thr` when a value rounds up across thr
+            out = out.append_column("jac", t["jac_f64"])
         return out
 
     exact_k = exact.map_batches(keyed, batch_format="pyarrow").materialize()

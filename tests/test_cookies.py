@@ -88,11 +88,14 @@ class TestPublicSuffixGuard:
         from scrupyst_ray.functions.cookies import CookieJarState
 
         # visiting github.io itself: Domain equals the request host, so the
-        # reference normalizes the Domain and keeps the cookie
-        # (cookies.py:68-70 `cookie.domain = request_domain`)
+        # guard strips the attribute and the jar keeps a HOST-ONLY cookie —
+        # the reference's effective `cookie.domain = request_domain`
+        # (cookies.py:68-70) is an exact-host match, not a subdomain blanket
         jar = CookieJarState()
         jar.extract("http://github.io/", ["s=1; Domain=github.io; Path=/"])
         assert "s=1" in (jar.header_for("http://github.io/") or "")
+        # host-only: must NOT be sent to subdomains of the suffix
+        assert jar.header_for("http://alice.github.io/") is None
 
     def test_private_section_suffix_rejected_for_subdomains(self):
         from scrupyst_ray.functions.cookies import CookieJarState
