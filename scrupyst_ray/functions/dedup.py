@@ -98,6 +98,35 @@ def simhash64(text: str) -> int:
     return int(packed.view(np.uint64)[0])
 
 
+def simhash64_md5(text: str) -> int:
+    """``simhash64`` with md5-derived token hashes (first 8 hex bytes,
+    big-endian) instead of blake2b — the SQL-recomputable twin: DuckDB's
+    ``CAST(('0x' || substr(md5(t),1,16)) AS UBIGINT)`` reproduces the
+    per-token hash exactly, so a SQL oracle can re-derive the full signature
+    (bit p = sign of the tf-weighted vote over ``(h >> p) & 1``) from the
+    text alone.  Used by the driver-visible ``simhash_recall`` gate; the
+    production pipeline keeps blake2b (faster, no hex round-trip)."""
+    from hashlib import md5
+
+    toks = ws_tokens(text)
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks), return_counts=True)
+    hashes = np.fromiter(
+        (
+            int.from_bytes(md5(t.encode()).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
+    sign = votes.sum(axis=0) >= 0
+    packed = np.packbits(sign.astype(np.uint8), bitorder="little")
+    return int(packed.view(np.uint64)[0])
+
+
 def hamming64(a: int | np.ndarray, b: int | np.ndarray) -> np.ndarray | int:
     x = np.bitwise_xor(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
     return np.bitwise_count(x) if hasattr(np, "bitwise_count") else _popcount64(x)

@@ -32,6 +32,7 @@ from scrupyst_ray.functions.dedup import (
     band_keys,
     shingle_hashes,
     simhash64,
+    simhash64_md5,
     simhash_band_keys,
 )
 
@@ -222,11 +223,20 @@ def minhash_dedup_keep(sf_dir: str, **kw):
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """Near-dup pairs by 64-bit SimHash, banded into 4×16-bit chunks."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    return _simhash_pairs_for(
+        _docs(sf_dir, ["doc_id", "text"]), max_hamming, simhash64
+    )
+
+
+def _simhash_pairs_for(ds, max_hamming: int, hash_fn):
+    """(a, b, hamming) pairs with hamming ≤ *max_hamming* over signatures
+    from *hash_fn* — 4×16-bit banding (pigeonhole: ≤3 bit flips corrupt at
+    most 3 of 4 bands, so every hamming ≤ 3 pair shares ≥1 exact band and
+    recall is structural, not probabilistic)."""
 
     def sign(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
-        sigs = [simhash64(t) for t in b["text"].to_pylist()]
+        sigs = [hash_fn(t) for t in b["text"].to_pylist()]
         keys: list[bytes] = []
         kids: list[int] = []
         ksig: list[int] = []
@@ -285,6 +295,53 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
             lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
         )
         .sort(["a", "b"])
+    )
+
+
+def simhash_recall(sf_dir: str, max_hammings: tuple[int, ...] = (2, 3)):
+    """(max_hamming, n_pairs, pair_id_sum) — the SimHash twin of
+    ``minhash_recall``: the banded pipeline's pair set at each hamming
+    threshold, summarized as a COUNT and an id-sum checksum that the SQL
+    oracle recomputes INDEPENDENTLY from the texts (md5-hash signature
+    variant ``simhash64_md5`` — DuckDB re-derives every 64-bit signature
+    with md5 + bit arithmetic and brute-forces all pairs).  4×16 banding
+    makes recall structural for hamming ≤ 3 (pigeonhole), so any dropped or
+    phantom pair — signature math, band keying, shuffle, the bucket
+    all-pairs kernel — flips n_pairs/pair_id_sum against the oracle.  No
+    literal-TRUE columns: both scalars are data-dependent.
+
+    Scale shape: identical to ``simhash_pairs`` (band-keyed groupby, 10 B
+    rows); the per-threshold reduction is two tiny aggregates.  The oracle's
+    O(n²) brute force exists only on the DuckDB side at gate scale."""
+    import pyarrow.compute as pc
+
+    hmax = max(max_hammings)
+    pairs = _simhash_pairs_for(
+        _docs(sf_dir, ["doc_id", "text"]), hmax, simhash64_md5
+    ).materialize()
+
+    rows = []
+    for h in sorted(max_hammings):
+        sub = pairs.filter(expr=f"hamming <= {h}").materialize()
+        n = sub.count()
+        sums = (
+            sub.map_batches(
+                lambda t: pa.table(
+                    {"s": pa.array([
+                        int(pc.sum(t["a"]).as_py() or 0)
+                        + int(pc.sum(t["b"]).as_py() or 0)
+                    ], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        rows.append((str(h), n, sum(r["s"] for r in sums)))
+    return pa.table(
+        {
+            "max_hamming": pa.array([r[0] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "pair_id_sum": pa.array([r[2] for r in rows], pa.int64()),
+        }
     )
 
 

@@ -260,6 +260,53 @@ def adc_topk(
     )
 
 
+def pq_recall_floor(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 256,
+    rerank: int = 50,
+    floor: float = 0.9,
+):
+    """(query_id, exact_topk_id_sum, pq_recall_ok) — the PQ twin of
+    ``ann_ivf_recall_probe4``: per query, the EXACT cosine top-k id-sum
+    (recomputed independently by the SQL oracle via
+    ``list_cosine_similarity`` + row_number — data-dependent, so a broken
+    brute-force/normalize path hash-mismatches) plus a boolean our ADC+R
+    path must EARN: recall@k of the rerank-refined PQ shortlist vs that
+    exact top-k must clear *floor* (measured 1.0 at the gate corpora with
+    R=50 — the boolean flips on codebook-training, encode, LUT/ADC, or
+    shortlist-fetch bugs).  Oracle expects TRUE; the recall itself is
+    computed Ray-side from two independent pipelines."""
+    from scrupyst_ray.pipelines.ann import brute_force_topk
+
+    if query_ids is None:
+        query_ids = [0, 7, 23, 41]
+    rec = pq_recall(sf_dir, query_ids, k, m, n_codes, rerank=rerank)
+    exact = brute_force_topk(sf_dir, query_ids, k)
+    sums: dict[int, int] = {}
+    for qid, vid in zip(
+        exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()
+    ):
+        sums[qid] = sums.get(qid, 0) + vid
+    recalls = dict(
+        zip(rec["query_id"].to_pylist(), rec["recall_at_k"].to_pylist())
+    )
+    qs = sorted(query_ids)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "exact_topk_id_sum": pa.array(
+                [sums.get(q, 0) for q in qs], pa.int64()
+            ),
+            "pq_recall_ok": pa.array(
+                [recalls.get(q, 0.0) >= floor for q in qs], pa.bool_()
+            ),
+        }
+    )
+
+
 def pq_recall(
     sf_dir: str,
     query_ids: list[int] | None = None,

@@ -673,6 +673,106 @@ def robots_decisions(sf_dir: str):
     )
 
 
+# injected malformed candidates exercising DROP_BADURL (empty netloc /
+# netloc-less scheme) — mirrored as literal VALUES rows in the SQL oracle
+_BAD_CANDIDATES = ("http:///nohost?x=1", "mailto:nobody@example.test")
+
+
+def frontier_filter_decisions(sf_dir: str):
+    """M4/M5/M6 frontier filters as ONE driver-visible query: every
+    non-robots corpus URL runs through the ENGINE's vectorized candidate
+    filter chain (``stages.frontier.candidate_filter_reasons`` — the exact
+    code ``edges_to_candidates`` calls per crawl round; reference precedence
+    nofollow → urllength → badurl → offsite → depth) under a config that
+    exercises each filter, plus two injected malformed URLs for the badurl
+    branch.
+
+    Per-candidate attributes are synthesized URL-derivably so the SQL
+    oracle can re-derive every decision from the url string alone:
+    ``nofollow = (n % 7 == 0)``, ``parent_depth = n % 5`` with
+    ``depth_limit=3``, ``urllength_limit=30`` (2-digit page numbers exceed
+    it), ``allowed_domains`` = the even-numbered hosts.  A wrong precedence
+    order, suffix-match bug in ``host_is_from_any_domain``, off-by-one in
+    the depth/length comparators, or bad-URL crash flips rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from scrupyst_ray.config import CrawlConfig
+    from scrupyst_ray.stages.frontier import (
+        DROP_REASON_NAMES,
+        EDGE_META_SCHEMA,
+        candidate_filter_reasons,
+    )
+
+    cfg = CrawlConfig(
+        urllength_limit=30,
+        depth_limit=3,
+        allowed_domains=[host_name(h) for h in range(0, _H, 2)],
+    )
+
+    def decide(b: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.ends_with(b["url"], pattern="/robots.txt"))
+        urls = b["url"].filter(mask).combine_chunks()
+        n = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(urls, pattern=r"n=(?P<n>\d+)$"), "n"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        k = len(urls)
+        edges = pa.table(
+            {
+                "dst": urls,
+                "nofollow": pa.array(n % 7 == 0, pa.bool_()),
+                "link_idx": pa.array(np.zeros(k, np.int32), pa.int32()),
+                "parent_depth": pa.array((n % 5).astype(np.int32), pa.int32()),
+                "parent_order_key": pa.array([b""] * k, pa.binary()),
+            },
+            schema=EDGE_META_SCHEMA,
+        )
+        reason, _, _ = candidate_filter_reasons(edges, cfg)
+        return pa.table(
+            {
+                "url": urls,
+                "decision": pa.array(
+                    [DROP_REASON_NAMES[int(r)] for r in reason], pa.string()
+                ),
+            }
+        )
+
+    bad = pa.table(
+        {
+            "dst": pa.array(list(_BAD_CANDIDATES), pa.string()),
+            "nofollow": pa.array([False] * len(_BAD_CANDIDATES), pa.bool_()),
+            "link_idx": pa.array([0] * len(_BAD_CANDIDATES), pa.int32()),
+            "parent_depth": pa.array([0] * len(_BAD_CANDIDATES), pa.int32()),
+            "parent_order_key": pa.array(
+                [b""] * len(_BAD_CANDIDATES), pa.binary()
+            ),
+        },
+        schema=EDGE_META_SCHEMA,
+    )
+    bad_reason, _, _ = candidate_filter_reasons(bad, cfg)
+    bad_rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": bad["dst"],
+                "decision": pa.array(
+                    [DROP_REASON_NAMES[int(r)] for r in bad_reason],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+
+    return (
+        _pages(["url"])
+        .map_batches(decide, batch_format="pyarrow")
+        .union(bad_rows)
+        .sort("url")
+    )
+
+
 def middleware_quality_gate(sf_dir: str):
     """§2.10 middleware chains as a data-pipeline operator: the documents
     table through a priority-ordered batch-transform chain — a length gate

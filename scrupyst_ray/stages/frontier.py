@@ -155,30 +155,18 @@ EDGE_META_SCHEMA = pa.schema(
 )
 
 
-def edges_to_candidates(
+def candidate_filter_reasons(
     batch: pa.Table, cfg: CrawlConfig
-) -> tuple[pa.Table, dict[int, int]]:
-    """Edge rows (``EDGE_META_SCHEMA``) → (kept frontier rows, drop counts).
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """The per-candidate M4/M5/M6 filter chain in reference precedence order
+    (nofollow → urllength → badurl → offsite → depth) — shared by
+    ``edges_to_candidates`` (the engine hot path) and the driver-visible
+    ``frontier_filter_decisions`` gate so both run the SAME kernels.
 
-    Child depth/priority per the reference depth middleware
-    (``spidermiddlewares/depth.py:87-90``): ``depth = parent + 1``,
-    ``priority = -depth * DEPTH_PRIORITY`` (new Requests start at 0).
-
-    Fully vectorized (this runs once per edge — millions of rows per round):
-    filters are Arrow/numpy masks applied in the reference's precedence
-    order (nofollow → urllength → badurl → offsite → depth), the order key
-    is an element-wise binary join, hosts come from one RE2 extraction with
-    a per-row ``parse_host`` fallback only for the rows the fast pattern
-    rejects, and the shard/bucket routing hashes run once per DICTIONARY
-    value instead of once per row (hosts repeat heavily across edges).
-    """
+    *batch* carries ``EDGE_META_SCHEMA`` columns (``dst``, ``nofollow``,
+    ``parent_depth``).  Returns ``(reason int8 per row — KEEP/DROP_* codes,
+    hosts as a pa.Array, child depths int32)``."""
     n = batch.num_rows
-    empty_counts: dict[int, int] = {}
-    if n == 0:
-        return (
-            pa.table({k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA),
-            empty_counts,
-        )
     dst = batch["dst"]
     if isinstance(dst, pa.ChunkedArray):
         dst = dst.combine_chunks()
@@ -234,6 +222,37 @@ def edges_to_candidates(
     )
     if cfg.depth_limit:
         reason[(reason == KEEP) & (depths > cfg.depth_limit)] = DROP_DEPTH
+    return reason, hosts_arr, depths
+
+
+def edges_to_candidates(
+    batch: pa.Table, cfg: CrawlConfig
+) -> tuple[pa.Table, dict[int, int]]:
+    """Edge rows (``EDGE_META_SCHEMA``) → (kept frontier rows, drop counts).
+
+    Child depth/priority per the reference depth middleware
+    (``spidermiddlewares/depth.py:87-90``): ``depth = parent + 1``,
+    ``priority = -depth * DEPTH_PRIORITY`` (new Requests start at 0).
+
+    Fully vectorized (this runs once per edge — millions of rows per round):
+    filters are Arrow/numpy masks applied in the reference's precedence
+    order (nofollow → urllength → badurl → offsite → depth), the order key
+    is an element-wise binary join, hosts come from one RE2 extraction with
+    a per-row ``parse_host`` fallback only for the rows the fast pattern
+    rejects, and the shard/bucket routing hashes run once per DICTIONARY
+    value instead of once per row (hosts repeat heavily across edges).
+    """
+    n = batch.num_rows
+    empty_counts: dict[int, int] = {}
+    if n == 0:
+        return (
+            pa.table({k: [] for k in FRONTIER_SCHEMA.names}, schema=FRONTIER_SCHEMA),
+            empty_counts,
+        )
+    dst = batch["dst"]
+    if isinstance(dst, pa.ChunkedArray):
+        dst = dst.combine_chunks()
+    reason, hosts_arr, depths = candidate_filter_reasons(batch, cfg)
 
     # order_key = parent_order_key + big-endian uint16 link index (crawl-order
     # tie-break, identical bytes to the per-row .to_bytes concat)

@@ -110,3 +110,52 @@ def test_minhash_recall_gate(ray_session):
     assert all(n > 0 for n in t["n_exact_pairs"].to_pylist())
     t2 = minhash_recall("/root/testdata/sf0.001", thresholds=(0.5,), floor=1.01)
     assert t2["recall_floor_ok"].to_pylist() == [False]
+
+
+class TestSimhashMd5:
+    def test_matches_bitwise_reference(self):
+        """simhash64_md5 == the per-bit shift-loop definition the SQL
+        oracle implements (md5 hex→uint64, (h>>p)&1 votes, >=0 sign)."""
+        import hashlib
+        from collections import Counter
+
+        from scrupyst_ray.functions.dedup import simhash64_md5
+        from scrupyst_ray.functions.textstats import ws_tokens
+
+        def slow(text: str) -> int:
+            toks = ws_tokens(text)
+            if not toks:
+                return 0
+            votes = [0] * 64
+            for t, c in Counter(toks).items():
+                h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                for p in range(64):
+                    votes[p] += c if (h >> p) & 1 else -c
+            return sum(1 << p for p in range(64) if votes[p] >= 0)
+
+        for s in ["", "  ", "a", "b a a", "x\xa0y", "the quick brown fox " * 3]:
+            assert simhash64_md5(s) == slow(s), repr(s)
+
+    def test_near_dup_small_hamming(self):
+        from scrupyst_ray.functions.dedup import hamming64, simhash64_md5
+
+        a = simhash64_md5("the quick brown fox jumps over the lazy dog " * 5)
+        b = simhash64_md5(
+            "the quick brown fox jumps over the lazy cat "
+            + "the quick brown fox jumps over the lazy dog " * 4
+        )
+        assert int(hamming64(a, b)) <= 10
+
+
+def test_simhash_recall_gate(ray_session):
+    """Banded-pipeline counts/id-sums are internally consistent and
+    monotone in the hamming threshold (full independence vs the SQL
+    brute-force oracle is checked by validate_entry / the driver)."""
+    from scrupyst_ray.pipelines.dedup import simhash_recall
+
+    t = simhash_recall("/root/testdata/sf0.001")
+    assert t["max_hamming"].to_pylist() == ["2", "3"]
+    n2, n3 = t["n_pairs"].to_pylist()
+    assert 0 <= n2 <= n3
+    s2, s3 = t["pair_id_sum"].to_pylist()
+    assert (n2 == 0) == (s2 == 0)

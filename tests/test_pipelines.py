@@ -282,6 +282,17 @@ class TestEmbeddingCovariance:
         assert t.var_ratio.tolist() == want
         assert sorted(t.var_ratio.tolist(), reverse=True) == t.var_ratio.tolist()
 
+    def test_pca_reconstruction_identity(self):
+        """The measured distributed residual equals trace(cov) − Σλ_top to
+        float precision (Eckart-Young) and the gate booleans are earned."""
+        from scrupyst_ray.pipelines.ann import pca_reconstruction
+
+        t = pca_reconstruction(SF).to_pandas()
+        assert t.n_components.tolist() == [8, 32]
+        assert t.recon_ok.all()
+        assert float(t.total_variance.iloc[0]) > 0
+        assert t.total_variance.nunique() == 1
+
     def test_pca_whiten_clamps_to_effective_rank(self, tmp_path):
         import os
 

@@ -65,3 +65,14 @@ def test_code_stats(ray_session):
     assert row["code_bytes"] == 16  # 64 float32 dims → 16 bytes = 16×
     assert 1 < row["distinct_codes"] <= 500
     assert float(row["mean_sq_error"]) < 0.5  # unit vectors: ‖x‖²=1 scale
+
+
+def test_pq_recall_floor_gate(ray_session):
+    """Driver-visible gate: exact id-sums present and the ADC+R recall
+    boolean earned at the default (m=16, n_codes=256, R=50) config."""
+    from scrupyst_ray.pipelines.pq import pq_recall_floor
+
+    t = pq_recall_floor(SF)
+    assert t["query_id"].to_pylist() == [0, 7, 23, 41]
+    assert all(t["pq_recall_ok"].to_pylist())
+    assert all(s > 0 for s in t["exact_topk_id_sum"].to_pylist())
