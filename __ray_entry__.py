@@ -259,8 +259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab_stats": bpe.bpe_vocab_stats,
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "doc_length_quantiles_sketch": textstats.doc_length_quantiles_sketch,
+        "quantile_sketch_gate": textstats.quantile_sketch_gate,
         "vocab_by_lang": textstats.vocab_by_lang,
         "vocab_by_lang_hll": textstats.vocab_by_lang_hll,
+        "vocab_hll_gate": textstats.vocab_hll_gate,
         "asof_prior_event": relational.asof_prior_event,
         "clicks_before_purchase": relational.clicks_before_purchase,
         # hashed-linear classifier inference (fastText-style stand-in;
@@ -300,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id"]
         ),
         "ann_ivf_topk": lambda sf: ann.ivf_topk(sf, [0], 10),
+        "ivf_topk_full": ann.ivf_topk_full,
         "ann_ivf_recall": lambda sf: ann.ivf_recall(sf, [0, 7, 23, 41], 10),
         "ann_ivf_recall_probe4": lambda sf: ann.ivf_recall_floor(
             sf, [0, 7, 23, 41], 10, nprobe=4
@@ -1113,6 +1116,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 10
             GROUP BY query_id ORDER BY query_id
         """,
+        # full-probe IVF top-k: lossless, so the RANKED LISTS (not just a
+        # recall boolean) must equal brute-force cosine top-k row for row
+        "ivf_topk_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 7, 23, 41)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         CAST(list_cosine_similarity(e.embedding, q.qe)
+                             AS DOUBLE) AS c
+                  FROM q, embeddings e),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c DESC, vec_id) AS rn
+                  FROM s)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   printf('%.4f', c) AS cos
+            FROM r WHERE rn <= 10
+            ORDER BY query_id, c DESC, vec_id
+        """,
         # IVF machinery gate: at full probe the partitioned index must be
         # lossless, so recall vs brute force is exactly 1.0 per query
         "ann_ivf_recall": """
@@ -1695,6 +1717,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(DISTINCT tok) AS vocab
             FROM t GROUP BY lang ORDER BY lang
         """,
+        # HLL accuracy gate: vocab_exact recomputed independently
+        # (data-dependent); hll_ok earned Ray-side (estimate within 5%)
+        "vocab_hll_gate": """
+            WITH t AS (SELECT lang,
+                              UNNEST(regexp_extract_all(text, '\\S+')) AS tok
+                       FROM documents)
+            SELECT lang, COUNT(DISTINCT tok) AS vocab_exact,
+                   TRUE AS hll_ok
+            FROM t GROUP BY lang ORDER BY lang
+        """,
         # exact per-source token-length quantiles (quantile_disc ≡ numpy
         # inverted_cdf on the Ray side)
         "doc_length_quantiles": """
@@ -1705,6 +1737,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
                    CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM t GROUP BY source ORDER BY source
+        """,
+        # log-bucket sketch accuracy gate: exact quantiles recomputed
+        # independently (data-dependent); sketch_ok earned Ray-side
+        # (bucket lower bound within the documented 3.2% band)
+        "quantile_sketch_gate": """
+            WITH t AS (SELECT source,
+                              len(regexp_extract_all(text, '\\S+')) AS n
+                       FROM documents)
+            SELECT source,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+                   TRUE AS sketch_ok
             FROM t GROUP BY source ORDER BY source
         """,
         # add-one bigram-LM perplexity per doc, LM trained on the corpus

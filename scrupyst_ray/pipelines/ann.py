@@ -278,6 +278,34 @@ def ivf_topk(
     )
 
 
+def ivf_topk_full(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_clusters: int = 16,
+):
+    """(query_id, vec_id, cos) — ``ivf_topk`` at FULL probe
+    (nprobe = n_clusters), which must be EXACTLY brute-force cosine top-k
+    (the partitioned index is lossless when every cell is probed).  The SQL
+    oracle recomputes the ranked lists independently via
+    ``list_cosine_similarity`` — a partition-loss, assignment, or merge bug
+    in the IVF machinery hash-mismatches full rows, not just a recall
+    boolean.  ``%.4f`` strings for float32-vs-double display parity (same
+    convention as ``ann_cosine_topk``)."""
+    if query_ids is None:
+        query_ids = [0, 7, 23, 41]
+    t = ivf_topk(sf_dir, query_ids, k, n_clusters, nprobe=n_clusters)
+    return pa.table(
+        {
+            "query_id": t["query_id"],
+            "vec_id": t["vec_id"],
+            "cos": pa.array(
+                [f"{v:.4f}" for v in t["cos"].to_pylist()], pa.string()
+            ),
+        }
+    )
+
+
 def ivf_recall(
     sf_dir: str,
     query_ids: list[int] | None = None,

