@@ -748,6 +748,157 @@ def _hits_sql(edges_glob: str, iters: int = 5) -> str:
     return head + body + tail
 
 
+def _crawl_bfo_oracle(corpus_glob: str) -> str:
+    """Full SQL simulation of the 5-round BFO crawl over the H=8/P=50
+    corpus — the flagship pipeline's first INDEPENDENT oracle (previously
+    rows-only).  DuckDB re-derives, from the page bytes alone:
+
+    - the link-extraction edge grid (same CTE as ``link_edges``, already
+      hash-green — follows, xlinks, <base>-resolved noise, per-page
+      first-wins dedup, document-order link_idx);
+    - the robots matrix (candidate host ``h % 5``: mode 1 = full block,
+      mode 0 = prefix-disallow ``/follow?n=1``);
+    - request-fingerprint dedup semantics: fingerprints canonicalize WITHOUT
+      the fragment, so ``url#frag`` self-links collapse onto their parent
+      (dedup keys on ``regexp_replace(url, '#.*$', '')``) while the
+      ``<base>``-resolved ``/based/#frag`` URLs are novel and fetch as 404;
+    - ``dont_filter`` seed semantics: start requests bypass the dupefilter
+      and never register, so a crawled page linking BACK to a seed URL
+      re-fetches it (seen_0 is EMPTY);
+    - within-round first-wins dedup by BFO rank (depth, order_key) — the
+      order key is the seed seq / link-idx path, hex-encoded so string
+      order equals the engine's binary order;
+    - the per-host budget draw (concurrent_requests_per_domain = 8):
+      deferred overflow carries its original depth/order into later rounds.
+
+    Any divergence in ANY of those components (extractor, robots parse,
+    canonicalization, dedup rank, budget cut, deferral carry) changes the
+    fetched row SET and hash-mismatches.  Rounds are unrolled (same
+    technique as the pagerank/HITS iteration oracles)."""
+    rounds_sql = []
+    for r in range(1, 5):
+        rounds_sql.append(f"""
+        new_{r} AS (
+          SELECT a.dst AS url, a.dhost AS host, f.depth + 1 AS depth,
+                 f.okey || lpad(hex(least(a.link_idx, 65535)), 4, '0') AS okey
+          FROM fetched_{r - 1} f JOIN allowed_cand a ON a.src = f.url
+          WHERE f.status = 200),
+        dedup_{r} AS (
+          SELECT url, host, depth, okey FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY regexp_replace(url, '#.*$', '')
+                ORDER BY depth, okey) AS rn
+            FROM new_{r}) WHERE rn = 1),
+        pool_{r} AS (
+          SELECT d.url, d.host, d.depth, d.okey
+          FROM dedup_{r} d ANTI JOIN seen_{r - 1} s
+            ON regexp_replace(d.url, '#.*$', '') = s.fp
+          UNION ALL
+          SELECT url, host, depth, okey FROM deferred_{r - 1}),
+        draw_{r} AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY host ORDER BY depth, okey) AS rk
+          FROM pool_{r}),
+        fetched_{r} AS (
+          SELECT url, host, depth, okey,
+                 CASE WHEN url IN (SELECT url FROM pages)
+                      THEN 200 ELSE 404 END AS status
+          FROM draw_{r} WHERE rk <= 8),
+        deferred_{r} AS (
+          SELECT url, host, depth, okey FROM draw_{r} WHERE rk > 8),
+        seen_{r} AS (
+          SELECT fp FROM seen_{r - 1}
+          UNION ALL
+          SELECT regexp_replace(url, '#.*$', '') FROM pool_{r})""")
+    return (
+        f"""
+        WITH pages AS (
+          SELECT url,
+            CAST(regexp_extract(url, 'host(\\d+)\\.test', 1) AS BIGINT) AS h,
+            CAST(regexp_extract(url, 'n=(\\d+)$', 1) AS BIGINT) AS n
+          FROM read_parquet('{corpus_glob}')
+          WHERE url NOT LIKE '%robots.txt'),
+        b AS (
+          SELECT url, h, n,
+            CASE WHEN n % 10 = 0 THEN (h + 1) % 8 ELSE h END AS bh,
+            (h * 31 + n * 7) % 8 AS th,
+            1 + (n * 13) % 50 AS tn,
+            least(3, n - 1) AS c
+          FROM pages),
+        b2 AS (
+          SELECT *,
+            (th = bh AND tn >= greatest(1, n - 3) AND tn <= n - 1) AS coll
+          FROM b),
+        edges AS (
+          SELECT url AS src,
+                 printf('http://host%03d.test/follow?n=%d', bh, n - k) AS dst,
+                 FALSE AS nofollow, CAST(k - 1 AS INTEGER) AS link_idx
+          FROM b2, generate_series(1, 3) t(k) WHERE n - k >= 1
+          UNION ALL
+          SELECT url, printf('http://host%03d.test/follow?n=%d', th, tn),
+                 FALSE, CAST(c AS INTEGER)
+          FROM b2 WHERE NOT coll
+          UNION ALL
+          SELECT url, printf('http://host%03d.test/nf%d', bh, n),
+                 TRUE, CAST(c + CASE WHEN coll THEN 0 ELSE 1 END AS INTEGER)
+          FROM b2
+          UNION ALL
+          SELECT url,
+                 CASE WHEN n % 10 = 0
+                      THEN printf('http://host%03d.test/based/#frag', bh)
+                      ELSE url || '#frag' END,
+                 FALSE, CAST(c + CASE WHEN coll THEN 1 ELSE 2 END AS INTEGER)
+          FROM b2
+          UNION ALL
+          SELECT url, printf('http://host%03d.test/based/rel%d.html', bh, n),
+                 FALSE, CAST(c + CASE WHEN coll THEN 2 ELSE 3 END AS INTEGER)
+          FROM b2 WHERE n % 10 = 0),
+        nlinks AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_links
+                   FROM edges GROUP BY src),
+        cand_edges AS (
+          SELECT e.src, e.dst, e.link_idx,
+                 regexp_extract(e.dst, 'http://([^/]+)/', 1) AS dhost,
+                 CAST(regexp_extract(e.dst, 'host(\\d+)\\.test', 1)
+                     AS BIGINT) AS dh
+          FROM edges e WHERE NOT e.nofollow),
+        allowed_cand AS (
+          SELECT * FROM cand_edges
+          WHERE NOT (dh % 5 = 1
+                     OR (dh % 5 = 0 AND dst LIKE '%/follow?n=1%'))),
+        seeds AS (
+          SELECT printf('http://host%03d.test/follow?n=50', h) AS url,
+                 printf('host%03d.test', h) AS host,
+                 0 AS depth, lpad(hex(h), 16, '0') AS okey
+          FROM generate_series(0, 7) t(h)
+          WHERE NOT (h % 5 = 1)),
+        fetched_0 AS (
+          SELECT url, host, depth, okey,
+                 CASE WHEN url IN (SELECT url FROM pages)
+                      THEN 200 ELSE 404 END AS status
+          FROM seeds),
+        deferred_0 AS (SELECT url, host, depth, okey
+                       FROM fetched_0 WHERE 1 = 0),
+        seen_0 AS (SELECT '' AS fp WHERE 1 = 0),"""
+        + ",".join(rounds_sql)
+        + """,
+        allrounds AS (
+          SELECT 0 AS round, * FROM fetched_0
+          UNION ALL SELECT 1, * FROM fetched_1
+          UNION ALL SELECT 2, * FROM fetched_2
+          UNION ALL SELECT 3, * FROM fetched_3
+          UNION ALL SELECT 4, * FROM fetched_4)
+        SELECT CAST(a.round AS INTEGER) AS round, a.url,
+               CAST(a.depth AS INTEGER) AS depth,
+               CAST(-a.depth AS BIGINT) AS priority,
+               CAST(a.status AS INTEGER) AS status,
+               COALESCE(CASE WHEN a.status = 200 THEN nl.n_links END, 0)
+                   AS n_links
+        FROM allrounds a LEFT JOIN nlinks nl ON nl.src = a.url
+        ORDER BY round, depth, okey
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(f"'{w}'" for w in _SW)
     # the decompress_roundtrip query runs over the deterministic synthetic
@@ -2212,6 +2363,10 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'html' END AS kind
             FROM p ORDER BY url
         """
+        # the flagship BFO crawl, fully simulated in SQL (see
+        # _crawl_bfo_oracle) — converts the last rows-only driver-window
+        # entry to a hash-checked one
+        out["crawl_bfo_order"] = _crawl_bfo_oracle(corpus_glob)
         # kill-resume equivalence: the engine compares a resumed run's
         # artifacts against an uninterrupted run's; each boolean is
         # falsifiable (any checkpoint/restore divergence flips it)
