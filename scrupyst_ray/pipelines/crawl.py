@@ -418,7 +418,27 @@ def _shard_gate_fn(
         )
         return admitted.append_column("fetch_key", pc.cast(fetch_key, pa.int32()))
 
-    return gate
+    def gate_blocks(batch: pa.Table) -> pa.Table:
+        """map_batches adapter: the tickler table is built one BLOCK per
+        shard, so with ``batch_size=None`` each call is one shard's group
+        and the groupby("shard") AllToAll exchange (a sort over 32 one-row
+        blocks — pure barrier cost, measured ~0.3-0.5 s/round of the
+        headline bench) is unnecessary.  Robustness: if the executor ever
+        hands a batch spanning shards, split and process each."""
+        if batch.num_rows <= 1:
+            return gate(batch)
+        shards = batch["shard"].to_pylist()
+        if len(set(shards)) == 1:
+            return gate(batch)
+        outs = []
+        for sid in sorted(set(shards)):
+            outs.append(gate(batch.filter(pc.equal(batch["shard"], sid))))
+        return pa.concat_tables(
+            [t for t in outs if t.num_rows] or outs[:1],
+            promote_options="default",
+        )
+
+    return gate_blocks
 
 
 def _write_sharded_candidates(ds, out_dir: str, num_shards: int, tag: str) -> None:
@@ -833,7 +853,6 @@ class CrawlEngine:
         )
 
         total_rows = cand_rows + def_rows
-        gate_parts = max(1, min(cfg.seen_shards, len(tickler_shards)))
         # fetch partitions: up to half the fetch_key space (buckets ×
         # FETCH_SPLIT sub-keys), NOT capped at the bucket count — coarse
         # partitions (~8 keys each) gave a 2-4× task-duration spread and a
@@ -857,8 +876,12 @@ class CrawlEngine:
         next_cand_dir = os.path.join(nf_dir, "candidates")
         t_exec = time.monotonic()
         (
-            frontier.groupby("shard", num_partitions=gate_parts)
-            .map_groups(
+            # gate stage: NO shuffle — the tickler table arrives one block
+            # per shard (see the tickler note above), so map_batches with
+            # batch_size=None already delivers exactly one shard's group to
+            # each gate task; the old groupby("shard") sort was a pure
+            # AllToAll barrier over 32 one-row blocks
+            frontier.map_batches(
                 _shard_gate_fn(
                     actors,
                     n,
@@ -868,6 +891,7 @@ class CrawlEngine:
                     candidates_in_dir=cand_dir if cand_rows else None,
                     order_mode=cfg.order_mode,
                 ),
+                batch_size=None,
                 batch_format="pyarrow",
             )
             # split the admitted set to ≥fetch_parts blocks first: the gate
