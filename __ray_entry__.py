@@ -39,13 +39,17 @@ def _crawl_workdir() -> tuple[str, str]:
     return corpus, wd
 
 
-def _run_crawl():
-    """Run (or reuse) the deterministic flagship crawl; returns CrawlResult."""
+def _run_crawl(order_mode: str = "bfo"):
+    """Run (or reuse) the deterministic flagship crawl; returns CrawlResult.
+    ``order_mode="dfo"`` runs the LIFO-tie-break variant (O2) in its own
+    cached workdir."""
     from scrupyst_ray.config import CrawlConfig
     from scrupyst_ray.pipelines.crawl import CrawlEngine, CrawlResult
 
     corpus, wd = _crawl_workdir()
-    cfg = CrawlConfig(seen_shards=4, fetch_buckets=4)
+    if order_mode != "bfo":
+        wd = f"{wd}_{order_mode}"
+    cfg = CrawlConfig(seen_shards=4, fetch_buckets=4, order_mode=order_mode)
     eng = CrawlEngine.for_corpus(os.path.join(corpus, "pages"), wd, cfg)
     if eng.last_complete_round() + 1 >= _CRAWL_ROUNDS:
         return CrawlResult(wd, [], "cached")  # artifact already on disk
@@ -71,6 +75,15 @@ def entry() -> Any:
 
 def _q_crawl_order(sf_dir: str):
     res = _run_crawl()
+    return res.crawl_order_dataset().select_columns(
+        ["round", "url", "depth", "priority", "status", "n_links"]
+    )
+
+
+def _q_crawl_order_dfo(sf_dir: str):
+    """O2: the DFO (LIFO tie-break) crawl — same corpus, same SQL crawl
+    simulation with every within-round order_key rank DESCENDING."""
+    res = _run_crawl(order_mode="dfo")
     return res.crawl_order_dataset().select_columns(
         ["round", "url", "depth", "priority", "status", "n_links"]
     )
@@ -195,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         # -- crawl engine operators (synthetic page corpus; rows-only) --
         "crawl_bfo_order": _q_crawl_order,
+        "crawl_dfo_order": _q_crawl_order_dfo,
         "crawl_resume_equivalence": webops.crawl_resume_equivalence,
         "page_text_extract": _q_page_text,
         "link_edges": _q_link_edges,
@@ -748,7 +762,7 @@ def _hits_sql(edges_glob: str, iters: int = 5) -> str:
     return head + body + tail
 
 
-def _crawl_bfo_oracle(corpus_glob: str) -> str:
+def _crawl_bfo_oracle(corpus_glob: str, okey_dir: str = "") -> str:
     """Full SQL simulation of the 5-round BFO crawl over the H=8/P=50
     corpus — the flagship pipeline's first INDEPENDENT oracle (previously
     rows-only).  DuckDB re-derives, from the page bytes alone:
@@ -774,7 +788,11 @@ def _crawl_bfo_oracle(corpus_glob: str) -> str:
     Any divergence in ANY of those components (extractor, robots parse,
     canonicalization, dedup rank, budget cut, deferral carry) changes the
     fetched row SET and hash-mismatches.  Rounds are unrolled (same
-    technique as the pagerank/HITS iteration oracles)."""
+    technique as the pagerank/HITS iteration oracles).
+
+    ``okey_dir=" DESC"`` produces the O2 DFO oracle: the reference's LIFO
+    pop order flips every within-round order_key tie-break (dedup
+    first-wins AND the budget draw), nothing else."""
     rounds_sql = []
     for r in range(1, 5):
         rounds_sql.append(f"""
@@ -787,7 +805,7 @@ def _crawl_bfo_oracle(corpus_glob: str) -> str:
           SELECT url, host, depth, okey FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY regexp_replace(url, '#.*$', '')
-                ORDER BY depth, okey) AS rn
+                ORDER BY depth, okey{okey_dir}) AS rn
             FROM new_{r}) WHERE rn = 1),
         pool_{r} AS (
           SELECT d.url, d.host, d.depth, d.okey
@@ -797,7 +815,7 @@ def _crawl_bfo_oracle(corpus_glob: str) -> str:
           SELECT url, host, depth, okey FROM deferred_{r - 1}),
         draw_{r} AS (
           SELECT *, row_number() OVER (
-              PARTITION BY host ORDER BY depth, okey) AS rk
+              PARTITION BY host ORDER BY depth, okey{okey_dir}) AS rk
           FROM pool_{r}),
         fetched_{r} AS (
           SELECT url, host, depth, okey,
@@ -2367,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         # _crawl_bfo_oracle) — converts the last rows-only driver-window
         # entry to a hash-checked one
         out["crawl_bfo_order"] = _crawl_bfo_oracle(corpus_glob)
+        out["crawl_dfo_order"] = _crawl_bfo_oracle(corpus_glob, " DESC")
         # kill-resume equivalence: the engine compares a resumed run's
         # artifacts against an uninterrupted run's; each boolean is
         # falsifiable (any checkpoint/restore divergence flips it)

@@ -71,3 +71,19 @@ class TestCrawlDFO:
         assert sorted(u for _, u in bfo.fetch_order) == sorted(
             u for _, u in dfo.fetch_order
         )
+
+
+def test_dfo_query_entry_differs_from_bfo(ray_session):
+    """crawl_dfo_order runs the LIFO-tie-break crawl and its fetched set
+    diverges from BFO's (full value parity is the SQL-oracle gate)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    bfo = e.queries()["crawl_bfo_order"]("/root/testdata/sf0.001").to_pandas()
+    dfo = e.queries()["crawl_dfo_order"]("/root/testdata/sf0.001").to_pandas()
+    key = ["round", "url"]
+    assert set(map(tuple, bfo[key].itertuples(index=False, name=None))) != set(
+        map(tuple, dfo[key].itertuples(index=False, name=None))
+    )
