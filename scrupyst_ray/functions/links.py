@@ -16,20 +16,24 @@ region restriction (``restrict_regions``): the ``restrict_xpaths`` /
   ``restrict_css`` analog (``lxmlhtml.py:88-101,217-249``) expressible on
   ``html.parser``:
   - CSS subset: ``tag`` / ``#id`` / ``.class`` / ``tag#id`` / ``tag.class``
-    single steps, plus DESCENDANT chains (``div#main p``) — the common
-    ``restrict_css`` shapes (the ``>`` child combinator stays unsupported —
-    it needs adjacency, raise rather than silently approximate);
+    steps joined by the DESCENDANT (whitespace) and CHILD (``>``)
+    combinators (``div#main p``, ``div#m > a``);
   - XPath subset: ``//tag``, ``//*`` steps with one optional predicate —
     ``[@id='v']``, ``[@class='v']`` (EXACT attribute equality, lxml
     semantics), ``[contains(@class,'v')]`` (substring on the class string,
-    lxml semantics) — and ``//``-separated descendant chains
-    (``//div[@id='main']//a``), the common ``restrict_xpaths`` shapes.
-  An anchor qualifies when it or an open ancestor COMPLETES a chain matched
-  as an ordered subsequence of the ancestor path (greedy prefix automaton on
-  the element stack, void elements skipped).  Covers the reference's own
-  restrict test fixtures (``tests/test_linkextractors.py:226-292``, ported);
-  full XPath (axes, functions, positional predicates) remains env-blocked
-  on lxml/parsel, COVERAGE.md.
+    lxml semantics), ``[@attr]`` existence and generic ``[@attr='v']``
+    equality — joined by ``//`` (descendant) and single ``/`` (child)
+    steps (``//div[@id='main']//a``, ``//ul[@role='nav']/li``).
+  An anchor qualifies when it or an open ancestor COMPLETES a chain,
+  matched by an NFA over the open-element stack: each element stores the
+  states whose last step it matched; descendant steps advance from any
+  open ancestor's state, child steps only from the current parent's.
+  (Sets, not a greedy prefix: with ``a > b`` over ``<a><a><b>`` the greedy
+  outer-``a`` binding would wrongly reject the inner parent.)  Covers the
+  reference's own restrict test fixtures
+  (``tests/test_linkextractors.py:226-292``, ported); full XPath (axes,
+  functions, positional predicates) remains env-blocked on lxml/parsel,
+  COVERAGE.md.
 dedup: first occurrence per ``canonicalize_url(url, keep_fragments=True)``
   (``lxmlhtml.py:56-57,154-157``, unique=True default)
 base_url: first ``<base href>`` in the first 4096 characters of the decoded
@@ -131,53 +135,114 @@ def _element_matches(
     return True
 
 
-# one step of a region chain: tag/None, id, class-TOKEN (CSS .class),
-# class-EXACT ([@class='v']), class-SUBSTRING ([contains(@class,'v')])
+# one step of a region chain (7-tuple): tag/None, id, class-TOKEN (CSS
+# .class), class-EXACT ([@class='v']), class-SUBSTRING
+# ([contains(@class,'v')]), generic attribute predicates
+# ((name, value|None), ...) from [@attr] / [@attr='v'], and direct (True =
+# child-combinator step: must match a CHILD of the previous step's match,
+# from CSS `>` or XPath `/`).  Legacy 3-/5-tuples are padded on ingest.
 _XPATH_STEP_RE = re.compile(
     r"^([a-zA-Z][\w-]*|\*)"
     r"(?:\[(?:"
     r"@id\s*=\s*(?P<q1>['\"])(?P<id>[^'\"]*)(?P=q1)"
     r"|@class\s*=\s*(?P<q2>['\"])(?P<cls>[^'\"]*)(?P=q2)"
     r"|contains\(\s*@class\s*,\s*(?P<q3>['\"])(?P<sub>[^'\"]*)(?P=q3)\s*\)"
+    r"|@(?P<aname>[a-zA-Z][\w:-]*)"
+    r"(?:\s*=\s*(?P<q4>['\"])(?P<aval>[^'\"]*)(?P=q4))?"
     r")\])?$"
 )
 
 
-def _xpath_step(step: str) -> tuple:
+def _pad_step(step: tuple) -> tuple:
+    """Normalize a legacy 3- or 5-tuple step to the 7-tuple form."""
+    if len(step) == 3:
+        return step + (None, None, (), False)
+    if len(step) == 5:
+        return step + ((), False)
+    return step
+
+
+def _xpath_step(step: str, direct: bool) -> tuple:
     m = _XPATH_STEP_RE.match(step.strip())
     if m is None:
         raise ValueError(f"unsupported region xpath step: {step!r}")
     tag = m.group(1)
+    attr_preds: tuple = ()
+    if m.group("aname"):
+        attr_preds = ((m.group("aname").lower(), m.group("aval")),)
     return (
         None if tag == "*" else tag.lower(),
         m.group("id"),
         None,
         m.group("cls"),
         m.group("sub"),
+        attr_preds,
+        direct,
     )
 
 
-def parse_region_expr(expr: str) -> list[tuple]:
-    """One restrict expression → a DESCENDANT chain of element predicates
-    ``(tag, id, cls_token, cls_exact, cls_substr)``:
+def _split_xpath_steps(body: str) -> list[tuple[str, bool]]:
+    """``a//b/c`` → [("a", False), ("b", False), ("c", True)]: ``//`` =
+    descendant, single ``/`` = child (never splitting inside brackets —
+    predicates contain no slashes in this subset)."""
+    out: list[tuple[str, bool]] = []
+    i, n, cur, direct = 0, len(body), [], False
+    while i < n:
+        if body.startswith("//", i):
+            out.append(("".join(cur), direct))
+            cur, direct = [], False
+            i += 2
+        elif body[i] == "/":
+            out.append(("".join(cur), direct))
+            cur, direct = [], True
+            i += 1
+        else:
+            cur.append(body[i])
+            i += 1
+    out.append(("".join(cur), direct))
+    if any(not s for s, _ in out):
+        raise ValueError(f"unsupported region xpath: {body!r}")
+    return out
 
-    - ``//``-prefixed: XPath subset, steps split on ``//``;
-    - otherwise CSS subset, steps split on whitespace (descendant
-      combinator); ``>`` raises (child adjacency is not approximated).
+
+def parse_region_expr(expr: str) -> list[tuple]:
+    """One restrict expression → a chain of element predicates (7-tuples,
+    see above):
+
+    - ``//``-prefixed: XPath subset — ``//`` separates descendant steps,
+      a single ``/`` a CHILD step; one optional predicate per step
+      (``[@id='v']``, ``[@class='v']``, ``[contains(@class,'v')]``,
+      ``[@attr]``, ``[@attr='v']``);
+    - otherwise CSS subset — whitespace = descendant combinator, ``>`` =
+      child combinator (``div > a``).
     """
     expr = expr.strip()
     if expr.startswith("//"):
-        return [_xpath_step(s) for s in expr[2:].split("//")]
-    if ">" in expr:
+        return [_xpath_step(s, d) for s, d in _split_xpath_steps(expr[2:])]
+    # CSS: tokenize on whitespace, fold '>' into a direct flag on the
+    # FOLLOWING step ("div > a" and "div>a" both work)
+    toks: list[str] = []
+    for t in re.split(r"(\s+|>)", expr):
+        t = t.strip()
+        if t:
+            toks.append(t)
+    steps: list[tuple] = []
+    direct = False
+    for t in toks:
+        if t == ">":
+            if direct or not steps:
+                raise ValueError(f"unsupported region selector: {expr!r}")
+            direct = True
+            continue
+        steps.append(parse_region_selector(t) + (None, None, (), direct))
+        direct = False
+    if not steps or direct:
         raise ValueError(f"unsupported region selector: {expr!r}")
-    steps = expr.split()
-    if not steps:
-        raise ValueError(f"unsupported region selector: {expr!r}")
-    return [parse_region_selector(s) + (None, None) for s in steps]
+    return steps
 
 
 def _pred_matches(pred: tuple, tag: str, attrs: dict[str, str | None]) -> bool:
-    ptag, pid, pcls_tok, pcls_exact, pcls_sub = pred
+    ptag, pid, pcls_tok, pcls_exact, pcls_sub, pattrs, _ = _pad_step(pred)
     if ptag is not None and tag != ptag:
         return False
     if pid is not None and attrs.get("id") != pid:
@@ -188,6 +253,11 @@ def _pred_matches(pred: tuple, tag: str, attrs: dict[str, str | None]) -> bool:
         return False
     if pcls_sub is not None and pcls_sub not in (attrs.get("class") or ""):
         return False
+    for name, value in pattrs:
+        if name not in attrs:
+            return False
+        if value is not None and (attrs.get(name) or "") != value:
+            return False
     return True
 
 
@@ -218,40 +288,57 @@ class _AnchorParser(HTMLParser):
         self.anchors: list[list] = []  # [href, rel, [text chunks], in_region]
         self._open: list[list] = []  # stack of currently-open anchor entries
         self._collect_text = collect_text
-        # regions: list of chains; a legacy 3-tuple selector is a 1-chain
+        # regions: list of chains of 7-tuple steps; a legacy bare tuple
+        # selector is a 1-chain
         self._regions: list[list[tuple]] = [
-            [r + (None, None)] if isinstance(r, tuple) else list(r)
+            [_pad_step(r)] if isinstance(r, tuple) else [_pad_step(s) for s in r]
             for r in (regions or [])
         ]
-        # greedy prefix automaton per chain: _prefix[i] = longest prefix of
-        # chain i matched as an ordered subsequence of the open-element path
-        self._prefix: list[int] = [0] * len(self._regions)
-        # stack entry: (tag, [(chain_idx, old_prefix)...], n_completed_here)
+        # NFA subsequence matcher: every stack entry carries the set of
+        # states (chain_idx, matched_len) whose LAST step matched at that
+        # element.  A descendant step may advance from a state on ANY open
+        # ancestor; a child (direct) step only from a state on the current
+        # stack top.  Sets (not a single greedy prefix) are required for
+        # child combinators: with chain "a > b" over <a><a><b>, the greedy
+        # outer-a prefix would wrongly reject the inner-a parent.
+        # stack entry: (tag, [(chain_idx, matched_len)...], n_completed_here)
         self._stack: list[tuple[str, list[tuple[int, int]], int]] = []
         self._region_depth = 0
         self._tags = tags
         self._attrs = attrs
 
-    def _in_region(self, tag: str, d: dict[str, str | None]) -> bool:
-        if not self._regions:
-            return True
-        if self._region_depth > 0:
-            return True
-        # the element itself may complete a chain (e.g. '//a', 'a.nav')
-        return any(
-            self._prefix[i] == len(c) - 1 and _pred_matches(c[-1], tag, d)
-            for i, c in enumerate(self._regions)
-        )
+    def _advances(self, tag: str, d: dict[str, str | None]) -> list[tuple[int, int]]:
+        """All NFA states a *tag* element would create, deduped:
+        (chain_idx, new_matched_len) — new_matched_len == len(chain) means
+        this element completes that chain (it is a region root)."""
+        out: dict[tuple[int, int], bool] = {}
+        top = len(self._stack) - 1
+        for i, chain in enumerate(self._regions):
+            if _pred_matches(chain[0], tag, d):
+                out[(i, 1)] = True
+            for e, (_, states, _) in enumerate(self._stack):
+                for ci, p in states:
+                    if ci != i or p >= len(chain):
+                        continue
+                    nxt = chain[p]
+                    if nxt[6] and e != top:  # child step: parent must match
+                        continue
+                    if _pred_matches(nxt, tag, d):
+                        out[(i, p + 1)] = True
+        return list(out)
 
     def _emit(
-        self, tag: str, attrs: list[tuple[str, str | None]], d: dict
+        self,
+        tag: str,
+        attrs: list[tuple[str, str | None]],
+        d: dict,
+        in_region: bool,
     ) -> list | None:
         """Append one entry per scanned attribute present on the element
         (reference ``_iter_links`` scans attributes in element order); all
         entries of one <a> share the text-chunk list.  Returns the shared
         text entry to push on the open stack (or None)."""
         rel = d.get("rel")
-        in_region = self._in_region(tag, d)
         chunks: list[str] = []
         first = None
         for name, value in attrs:
@@ -262,41 +349,45 @@ class _AnchorParser(HTMLParser):
                     first = entry
         return first
 
+    def _region_state(
+        self, tag: str, d: dict[str, str | None]
+    ) -> tuple[list[tuple[int, int]], int, bool]:
+        """(new NFA states, n chains completed at this element, in_region)."""
+        if not self._regions:
+            return [], 0, True
+        adv = self._advances(tag, d)
+        completed = len(
+            {i for i, p in adv if p == len(self._regions[i])}
+        )
+        return adv, completed, self._region_depth > 0 or completed > 0
+
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         d = dict(attrs)
+        adv, completed, in_region = self._region_state(tag, d)
         if tag in self._tags:
-            entry = self._emit(tag, attrs, d)
+            entry = self._emit(tag, attrs, d, in_region)
             if entry is not None and tag == "a" and self._collect_text:
                 self._open.append(entry)
         if self._regions and tag not in _VOID_ELEMENTS:
-            deltas: list[tuple[int, int]] = []
-            completed = 0
-            for i, chain in enumerate(self._regions):
-                p = self._prefix[i]
-                if p < len(chain) and _pred_matches(chain[p], tag, d):
-                    deltas.append((i, p))
-                    self._prefix[i] = p + 1
-                    if p + 1 == len(chain):
-                        completed += 1
-            self._stack.append((tag, deltas, completed))
+            self._stack.append((tag, adv, completed))
             self._region_depth += completed
 
     def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in self._tags:
-            self._emit(tag, attrs, dict(attrs))
+            d = dict(attrs)
+            _, _, in_region = self._region_state(tag, d)
+            self._emit(tag, attrs, d, in_region)
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a" and self._open:
             self._open.pop()
         if self._regions and tag not in _VOID_ELEMENTS:
-            # lenient recovery: close up to the nearest matching open tag,
-            # restoring chain-prefix state innermost-first
+            # lenient recovery: close up to the nearest matching open tag;
+            # NFA states die with their stack entries
             for i in range(len(self._stack) - 1, -1, -1):
                 if self._stack[i][0] == tag:
-                    for _, deltas, completed in reversed(self._stack[i:]):
+                    for _, _, completed in self._stack[i:]:
                         self._region_depth -= completed
-                        for ci, old_p in deltas:
-                            self._prefix[ci] = old_p
                     del self._stack[i:]
                     break
 

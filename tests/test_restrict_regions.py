@@ -125,8 +125,9 @@ def test_no_regions_means_all():
 
 
 def test_bad_selector_rejected():
-    with pytest.raises(ValueError):
-        LinkExtractorConfig(restrict_regions=["div > a"])
+    for expr in ("div >", "> a", "div > > a", "div + a"):
+        with pytest.raises(ValueError):
+            LinkExtractorConfig(restrict_regions=[expr])
 
 
 def test_selector_parse():
@@ -209,7 +210,8 @@ class TestXPathSubsetChains:
         assert got == ["http://x.test/y.html"]
 
     def test_unsupported_forms_raise(self):
-        for expr in ("//div[1]", "//div/a", "div > a", "//a[text()='x']"):
+        for expr in ("//div[1]", "//a[text()='x']", "//div[last()]",
+                     "//div/..", "//div[@a='x' and @b='y']"):
             with pytest.raises(ValueError):
                 LinkExtractorConfig(restrict_regions=[expr])
 
@@ -225,3 +227,87 @@ class TestXPathSubsetChains:
         cfg = LinkExtractorConfig(restrict_regions=["//div[@id='m']//p"])
         got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
         assert got == ["http://x.test/in.html"]
+
+
+class TestChildCombinator:
+    """Round-4 upgrade: CSS `>` / XPath `/` child steps (NFA subsequence
+    matcher — a greedy prefix automaton cannot do adjacency) and generic
+    attribute predicates [@attr] / [@attr='v']."""
+
+    HTML = (
+        "<html><body>"
+        "<div id='m'><a href='child.html'>c</a>"
+        "<p><a href='grand.html'>g</a></p></div>"
+        "<a href='out.html'>o</a>"
+        "</body></html>"
+    )
+
+    def test_css_child_combinator(self):
+        cfg = LinkExtractorConfig(restrict_regions=["div#m > a"])
+        got = [l.url for l in extract_links(self.HTML, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/child.html"]
+
+    def test_xpath_child_step(self):
+        cfg = LinkExtractorConfig(restrict_regions=["//div[@id='m']/a"])
+        got = [l.url for l in extract_links(self.HTML, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/child.html"]
+
+    def test_descendant_still_catches_grandchild(self):
+        cfg = LinkExtractorConfig(restrict_regions=["//div[@id='m']//a"])
+        got = [l.url for l in extract_links(self.HTML, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/child.html", "http://x.test/grand.html"]
+
+    def test_nfa_beats_greedy_prefix(self):
+        # chain "div.a > p": greedy matching would bind to the OUTER div.a
+        # and reject p (whose parent is the inner div.a); the NFA keeps
+        # both candidate states
+        html = (
+            "<html><body><div class='a'><div class='a'>"
+            "<p><a href='in.html'>i</a></p>"
+            "</div></div></body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["div.a > p"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/in.html"]
+
+    def test_child_rejects_non_child(self):
+        html = (
+            "<html><body><div class='a'><section>"
+            "<p><a href='deep.html'>d</a></p>"
+            "</section></div></body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["div.a > p"])
+        assert extract_links(html, "http://x.test/", config=cfg) == []
+
+    def test_attr_existence_predicate(self):
+        html = (
+            "<html><body>"
+            "<div data-x='1'><a href='a.html'>a</a></div>"
+            "<div><a href='b.html'>b</a></div>"
+            "</body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["//div[@data-x]"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/a.html"]
+
+    def test_attr_value_predicate(self):
+        html = (
+            "<html><body>"
+            "<ul role='nav'><li><a href='n.html'>n</a></li></ul>"
+            "<ul role='list'><li><a href='l.html'>l</a></li></ul>"
+            "</body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["//ul[@role='nav']//a"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/n.html"]
+
+    def test_chained_child_steps(self):
+        html = (
+            "<html><body>"
+            "<div id='m'><ul><li><a href='y.html'>y</a></li></ul></div>"
+            "<div id='m'><ul><div><li><a href='n.html'>n</a></li></div></ul></div>"
+            "</body></html>"
+        )
+        cfg = LinkExtractorConfig(restrict_regions=["//div[@id='m']/ul/li"])
+        got = [l.url for l in extract_links(html, "http://x.test/", config=cfg)]
+        assert got == ["http://x.test/y.html"]
