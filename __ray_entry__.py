@@ -39,9 +39,11 @@ def _crawl_workdir() -> tuple[str, str]:
     return corpus, wd
 
 
-def _run_crawl(order_mode: str = "bfo"):
+def _run_crawl(order_mode: str = "bfo", pagecount: int = 0):
     """Run (or reuse) the deterministic flagship crawl; returns CrawlResult.
-    ``order_mode="dfo"`` runs the LIFO-tie-break variant (O2) in its own
+    ``order_mode="dfo"`` runs the LIFO-tie-break variant (O2);
+    ``pagecount=K`` the CLOSESPIDER_PAGECOUNT variant (O3 — rounds run
+    while the committed fetch count is < K).  Each variant gets its own
     cached workdir."""
     from scrupyst_ray.config import CrawlConfig
     from scrupyst_ray.pipelines.crawl import CrawlEngine, CrawlResult
@@ -49,12 +51,22 @@ def _run_crawl(order_mode: str = "bfo"):
     corpus, wd = _crawl_workdir()
     if order_mode != "bfo":
         wd = f"{wd}_{order_mode}"
-    cfg = CrawlConfig(seen_shards=4, fetch_buckets=4, order_mode=order_mode)
+    if pagecount:
+        wd = f"{wd}_pc{pagecount}"
+    cfg = CrawlConfig(
+        seen_shards=4,
+        fetch_buckets=4,
+        order_mode=order_mode,
+        closespider_pagecount=pagecount,
+    )
     eng = CrawlEngine.for_corpus(os.path.join(corpus, "pages"), wd, cfg)
-    if eng.last_complete_round() + 1 >= _CRAWL_ROUNDS:
+    if not pagecount and eng.last_complete_round() + 1 >= _CRAWL_ROUNDS:
         return CrawlResult(wd, [], "cached")  # artifact already on disk
-    eng.init_frontier(os.path.join(corpus, "seeds.parquet"))
-    res = eng.run(max_rounds=_CRAWL_ROUNDS)
+    if eng.last_complete_round() < 0:
+        eng.init_frontier(os.path.join(corpus, "seeds.parquet"))
+    # pagecount variant: resume recomputes the committed fetch count, so a
+    # finished workdir stops before running any round (cheap re-entry)
+    res = eng.run(max_rounds=None if pagecount else _CRAWL_ROUNDS)
     eng.shutdown_actors()
     return res
 
@@ -84,6 +96,16 @@ def _q_crawl_order_dfo(sf_dir: str):
     """O2: the DFO (LIFO tie-break) crawl — same corpus, same SQL crawl
     simulation with every within-round order_key rank DESCENDING."""
     res = _run_crawl(order_mode="dfo")
+    return res.crawl_order_dataset().select_columns(
+        ["round", "url", "depth", "priority", "status", "n_links"]
+    )
+
+
+def _q_crawl_pagecount(sf_dir: str):
+    """O3: CLOSESPIDER_PAGECOUNT=40 — the engine stops before the first
+    round whose PRIOR committed fetch count reaches 40; the oracle applies
+    the same cumulative cut to the simulated rounds."""
+    res = _run_crawl(pagecount=40)
     return res.crawl_order_dataset().select_columns(
         ["round", "url", "depth", "priority", "status", "n_links"]
     )
@@ -209,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl engine operators (synthetic page corpus; rows-only) --
         "crawl_bfo_order": _q_crawl_order,
         "crawl_dfo_order": _q_crawl_order_dfo,
+        "crawl_pagecount_limit": _q_crawl_pagecount,
         "crawl_resume_equivalence": webops.crawl_resume_equivalence,
         "page_text_extract": _q_page_text,
         "link_edges": _q_link_edges,
@@ -762,7 +785,9 @@ def _hits_sql(edges_glob: str, iters: int = 5) -> str:
     return head + body + tail
 
 
-def _crawl_bfo_oracle(corpus_glob: str, okey_dir: str = "") -> str:
+def _crawl_bfo_oracle(
+    corpus_glob: str, okey_dir: str = "", pagecount: int = 0
+) -> str:
     """Full SQL simulation of the 5-round BFO crawl over the H=8/P=50
     corpus — the flagship pipeline's first INDEPENDENT oracle (previously
     rows-only).  DuckDB re-derives, from the page bytes alone:
@@ -792,7 +817,10 @@ def _crawl_bfo_oracle(corpus_glob: str, okey_dir: str = "") -> str:
 
     ``okey_dir=" DESC"`` produces the O2 DFO oracle: the reference's LIFO
     pop order flips every within-round order_key tie-break (dedup
-    first-wins AND the budget draw), nothing else."""
+    first-wins AND the budget draw), nothing else.  ``pagecount=K``
+    produces the O3 CLOSESPIDER_PAGECOUNT oracle: keep a round's rows only
+    while the cumulative fetched count BEFORE that round is < K (the
+    engine checks the committed total before each round)."""
     rounds_sql = []
     for r in range(1, 5):
         rounds_sql.append(f"""
@@ -912,9 +940,14 @@ def _crawl_bfo_oracle(corpus_glob: str, okey_dir: str = "") -> str:
                COALESCE(CASE WHEN a.status = 200 THEN nl.n_links END, 0)
                    AS n_links
         FROM allrounds a LEFT JOIN nlinks nl ON nl.src = a.url
+        {pagecut}
         ORDER BY round, depth, okey
     """
-    )
+    ).format(pagecut=(
+        f"""WHERE COALESCE((SELECT SUM(cnt) FROM
+               (SELECT round, COUNT(*) AS cnt FROM allrounds GROUP BY round) p
+               WHERE p.round < a.round), 0) < {pagecount}"""
+        if pagecount else ""))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2386,6 +2419,9 @@ def oracle_sql() -> dict[str, str]:
         # entry to a hash-checked one
         out["crawl_bfo_order"] = _crawl_bfo_oracle(corpus_glob)
         out["crawl_dfo_order"] = _crawl_bfo_oracle(corpus_glob, " DESC")
+        out["crawl_pagecount_limit"] = _crawl_bfo_oracle(
+            corpus_glob, pagecount=40
+        )
         # kill-resume equivalence: the engine compares a resumed run's
         # artifacts against an uninterrupted run's; each boolean is
         # falsifiable (any checkpoint/restore divergence flips it)

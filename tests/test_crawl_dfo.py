@@ -87,3 +87,18 @@ def test_dfo_query_entry_differs_from_bfo(ray_session):
     assert set(map(tuple, bfo[key].itertuples(index=False, name=None))) != set(
         map(tuple, dfo[key].itertuples(index=False, name=None))
     )
+
+
+def test_pagecount_query_stops_early(ray_session):
+    """O3: the pagecount variant stops before the first round whose prior
+    cumulative fetch count reaches 40 (SQL parity is the oracle gate)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    df = e.queries()["crawl_pagecount_limit"]("/root/testdata/sf0.001").to_pandas()
+    per = df.groupby("round").size().sort_index()
+    cum_before = per.cumsum().shift(fill_value=0)
+    assert (cum_before < 40).all()          # every run round was allowed
+    assert per.sum() >= 40                  # and the stop actually fired
