@@ -39,12 +39,18 @@ def _crawl_workdir() -> tuple[str, str]:
     return corpus, wd
 
 
-def _run_crawl(order_mode: str = "bfo", pagecount: int = 0):
+def _run_crawl(
+    order_mode: str = "bfo",
+    pagecount: int = 0,
+    depth_limit: int = 0,
+    allowed_domains: tuple = (),
+):
     """Run (or reuse) the deterministic flagship crawl; returns CrawlResult.
     ``order_mode="dfo"`` runs the LIFO-tie-break variant (O2);
     ``pagecount=K`` the CLOSESPIDER_PAGECOUNT variant (O3 — rounds run
-    while the committed fetch count is < K).  Each variant gets its own
-    cached workdir."""
+    while the committed fetch count is < K); ``depth_limit`` the M6 and
+    ``allowed_domains`` the M4 in-engine variants.  Each variant gets its
+    own cached workdir."""
     from scrupyst_ray.config import CrawlConfig
     from scrupyst_ray.pipelines.crawl import CrawlEngine, CrawlResult
 
@@ -53,11 +59,17 @@ def _run_crawl(order_mode: str = "bfo", pagecount: int = 0):
         wd = f"{wd}_{order_mode}"
     if pagecount:
         wd = f"{wd}_pc{pagecount}"
+    if depth_limit:
+        wd = f"{wd}_dl{depth_limit}"
+    if allowed_domains:
+        wd = f"{wd}_ad{len(allowed_domains)}"
     cfg = CrawlConfig(
         seen_shards=4,
         fetch_buckets=4,
         order_mode=order_mode,
         closespider_pagecount=pagecount,
+        depth_limit=depth_limit,
+        allowed_domains=list(allowed_domains),
     )
     eng = CrawlEngine.for_corpus(os.path.join(corpus, "pages"), wd, cfg)
     if not pagecount and eng.last_complete_round() + 1 >= _CRAWL_ROUNDS:
@@ -96,6 +108,33 @@ def _q_crawl_order_dfo(sf_dir: str):
     """O2: the DFO (LIFO tie-break) crawl — same corpus, same SQL crawl
     simulation with every within-round order_key rank DESCENDING."""
     res = _run_crawl(order_mode="dfo")
+    return res.crawl_order_dataset().select_columns(
+        ["round", "url", "depth", "priority", "status", "n_links"]
+    )
+
+
+def _q_crawl_depth_limited(sf_dir: str):
+    """M6 inside the ENGINE: depth_limit=2 — candidates at depth 3 are
+    dropped by the frontier filter chain; the oracle applies the same cut
+    to the simulated candidate stream."""
+    res = _run_crawl(depth_limit=2)
+    return res.crawl_order_dataset().select_columns(
+        ["round", "url", "depth", "priority", "status", "n_links"]
+    )
+
+
+def _q_crawl_offsite(sf_dir: str):
+    """M4 inside the ENGINE: allowed_domains = hosts 0/2/3/4 — candidates
+    on other hosts are offsite-dropped (seeds bypass the filter: start
+    requests are never offsite-filtered, matching the reference)."""
+    res = _run_crawl(
+        allowed_domains=(
+            "host000.test",
+            "host002.test",
+            "host003.test",
+            "host004.test",
+        )
+    )
     return res.crawl_order_dataset().select_columns(
         ["round", "url", "depth", "priority", "status", "n_links"]
     )
@@ -232,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfo_order": _q_crawl_order,
         "crawl_dfo_order": _q_crawl_order_dfo,
         "crawl_pagecount_limit": _q_crawl_pagecount,
+        "crawl_depth_limited": _q_crawl_depth_limited,
+        "crawl_offsite_filtered": _q_crawl_offsite,
         "crawl_resume_equivalence": webops.crawl_resume_equivalence,
         "page_text_extract": _q_page_text,
         "link_edges": _q_link_edges,
@@ -786,7 +827,11 @@ def _hits_sql(edges_glob: str, iters: int = 5) -> str:
 
 
 def _crawl_bfo_oracle(
-    corpus_glob: str, okey_dir: str = "", pagecount: int = 0
+    corpus_glob: str,
+    okey_dir: str = "",
+    pagecount: int = 0,
+    depth_limit: int = 0,
+    allowed_h: tuple = (),
 ) -> str:
     """Full SQL simulation of the 5-round BFO crawl over the H=8/P=50
     corpus — the flagship pipeline's first INDEPENDENT oracle (previously
@@ -820,7 +865,16 @@ def _crawl_bfo_oracle(
     first-wins AND the budget draw), nothing else.  ``pagecount=K``
     produces the O3 CLOSESPIDER_PAGECOUNT oracle: keep a round's rows only
     while the cumulative fetched count BEFORE that round is < K (the
-    engine checks the committed total before each round)."""
+    engine checks the committed total before each round).  ``depth_limit``
+    cuts candidates whose child depth exceeds it (M6); ``allowed_h``
+    restricts candidate hosts to the given h numbers (M4 offsite — seeds
+    bypass, matching the reference's unfiltered start requests)."""
+    depth_cut = f" AND f.depth + 1 <= {depth_limit}" if depth_limit else ""
+    offsite_cut = (
+        " AND dh IN (" + ", ".join(str(h) for h in allowed_h) + ")"
+        if allowed_h
+        else ""
+    )
     rounds_sql = []
     for r in range(1, 5):
         rounds_sql.append(f"""
@@ -828,7 +882,7 @@ def _crawl_bfo_oracle(
           SELECT a.dst AS url, a.dhost AS host, f.depth + 1 AS depth,
                  f.okey || lpad(hex(least(a.link_idx, 65535)), 4, '0') AS okey
           FROM fetched_{r - 1} f JOIN allowed_cand a ON a.src = f.url
-          WHERE f.status = 200),
+          WHERE f.status = 200{depth_cut}),
         dedup_{r} AS (
           SELECT url, host, depth, okey FROM (
             SELECT *, row_number() OVER (
@@ -910,7 +964,7 @@ def _crawl_bfo_oracle(
         allowed_cand AS (
           SELECT * FROM cand_edges
           WHERE NOT (dh % 5 = 1
-                     OR (dh % 5 = 0 AND dst LIKE '%/follow?n=1%'))),
+                     OR (dh % 5 = 0 AND dst LIKE '%/follow?n=1%')){offsite_cut}),
         seeds AS (
           SELECT printf('http://host%03d.test/follow?n=50', h) AS url,
                  printf('host%03d.test', h) AS host,
@@ -2421,6 +2475,12 @@ def oracle_sql() -> dict[str, str]:
         out["crawl_dfo_order"] = _crawl_bfo_oracle(corpus_glob, " DESC")
         out["crawl_pagecount_limit"] = _crawl_bfo_oracle(
             corpus_glob, pagecount=40
+        )
+        out["crawl_depth_limited"] = _crawl_bfo_oracle(
+            corpus_glob, depth_limit=2
+        )
+        out["crawl_offsite_filtered"] = _crawl_bfo_oracle(
+            corpus_glob, allowed_h=(0, 2, 3, 4)
         )
         # kill-resume equivalence: the engine compares a resumed run's
         # artifacts against an uninterrupted run's; each boolean is

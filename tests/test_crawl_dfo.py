@@ -102,3 +102,23 @@ def test_pagecount_query_stops_early(ray_session):
     cum_before = per.cumsum().shift(fill_value=0)
     assert (cum_before < 40).all()          # every run round was allowed
     assert per.sum() >= 40                  # and the stop actually fired
+
+
+def test_depth_and_offsite_variants(ray_session):
+    """M6/M4 inside the engine: depth_limit caps every fetched depth;
+    allowed_domains confines non-seed fetches to the allowed hosts."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    dl = e.queries()["crawl_depth_limited"]("/root/testdata/sf0.001").to_pandas()
+    assert dl.depth.max() <= 2
+
+    off = e.queries()["crawl_offsite_filtered"]("/root/testdata/sf0.001").to_pandas()
+    hosts = off.url.str.extract(r"http://([^/]+)/")[0]
+    allowed = {"host000.test", "host002.test", "host003.test", "host004.test"}
+    non_seed = off[off.depth > 0]
+    ns_hosts = non_seed.url.str.extract(r"http://([^/]+)/")[0]
+    assert set(ns_hosts) <= allowed
+    assert not set(hosts) <= allowed  # seeds bypass the filter
