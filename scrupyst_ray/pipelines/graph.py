@@ -156,6 +156,8 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
+    from scrupyst_ray.pipelines.joins import collect_table
+
     for _ in range(iters):
         contribs = attach_by_key(wedges, ranks, "src", "r").map_batches(
             lambda t: pa.table(
@@ -166,12 +168,29 @@ def pagerank(
         incoming = rename(
             contribs.groupby("dst").sum("c"), ["url", "s"]
         ).materialize()
-        total_in = incoming.sum("s") or 0.0
+        n_in = incoming.count()
+        if n_in > 0 and _small_enough(incoming, n_in):
+            # small path: ONE collection serves both the Σ incoming scalar
+            # and the broadcast lookup — the separate `.sum("s")` execution
+            # per iteration was pure executor-startup overhead at gate scale
+            t_in = collect_table(incoming.select_columns(["url", "s"]))
+            total_in = float(pc.sum(t_in["s"]).as_py() or 0.0)
+            ref = ray.put(
+                (t_in["url"].combine_chunks(), t_in["s"].combine_chunks())
+            )
+            attached = nodes.map_batches(
+                lambda b, ref=ref: attach_from_lookup(
+                    b, "url", "s", ref, fill=0.0
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            total_in = incoming.sum("s") or 0.0
+            attached = _left_attach_fill0(nodes, incoming, n_in)
         dang = 1.0 - total_in
         base = (1.0 - damping) / n + damping * dang / n
         ranks = (
-            _left_attach_fill0(nodes, incoming, incoming.count())
-            .map_batches(
+            attached.map_batches(
                 lambda t, base=base: pa.table(
                     {
                         "url": t["url"],
