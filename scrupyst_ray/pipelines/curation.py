@@ -55,6 +55,7 @@ from scrupyst_ray.functions.textstats import (
 from scrupyst_ray.pipelines.joins import (
     attach_by_key,
     collect_table,
+    join_partitions as _parts,
     rename,
 )
 
@@ -469,46 +470,77 @@ def dup_span_stats(sf_dir: str, width: int = 8):
     per-document fraction of duplicated windows — the filter signal.
     Documents with fewer than *width* tokens have no windows and are absent.
 
-    Scale shape: the window stream is ~1 row per token carrying a 16-byte
-    md5 — text never moves; occurrence counts come from one digest-keyed
-    groupby and ride back onto the stream via the size-selected hash join;
-    per-doc stats are one doc_id-keyed groupby.  Equivalent to the paper's
-    suffix-array pass without a global sorted structure (windows at fixed
-    width hash-partition instead)."""
+    Scale shape: the window stream is ~1 row per token carrying the md5 as
+    two uint64 halves — text never moves; ONE digest-BUCKET-keyed groupby
+    computes everything group-local (same shape as the exact-Jaccard
+    inverted index: all occurrences of a digest land in one bucket, a
+    vectorized sort + run-length pass flags duplicates and reduces to
+    per-doc partials in place), then a small doc_id-keyed aggregate sums
+    the per-bucket partials.  Round 4 removed the count-groupby + join-back
+    of the earlier shape — two of its three all-to-alls were barrier
+    latency, not work.  Equivalent to the paper's suffix-array pass without
+    a global sorted structure."""
     docs = _docs(sf_dir, ["doc_id", "text"])
+    n_buckets = _parts() * 4
 
     def windows(b: pa.Table) -> pa.Table:
         ids: list[int] = []
-        hs: list[bytes] = []
+        h1s: list[int] = []
+        h2s: list[int] = []
         for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
             toks = ws_tokens(t)
             for i in range(len(toks) - width + 1):
+                dig = hashlib.md5(" ".join(toks[i : i + width]).encode()).digest()
                 ids.append(d)
-                hs.append(
-                    hashlib.md5(" ".join(toks[i : i + width]).encode()).digest()
-                )
+                h1s.append(int.from_bytes(dig[:8], "big"))
+                h2s.append(int.from_bytes(dig[8:], "big"))
+        h1 = np.array(h1s, np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "h": pa.array(hs, pa.binary()),
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(np.array(h2s, np.uint64), pa.uint64()),
+                "bucket": pa.array(
+                    (h1 % n_buckets).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    win = docs.map_batches(windows, batch_format="pyarrow").materialize()
-    cnt = rename(win.groupby("h").count(), ["h", "c"])
-    j = attach_by_key(win, cnt, "h", "c")
-
-    def partial(b: pa.Table) -> pa.Table:
+    def doc_partials(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                    "dup": pa.array([], pa.int64()),
+                }
+            )
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        h1s, h2s, ds = h1[order], h2[order], d[order]
+        new_run = np.empty(len(h1s), bool)
+        new_run[0] = True
+        new_run[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_sizes = np.bincount(run_id)
+        dup = (run_sizes[run_id] > 1).astype(np.int64)
+        uds, inv = np.unique(ds, return_inverse=True)
         return pa.table(
             {
-                "doc_id": b["doc_id"],
-                "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
-                "dup": pc.cast(pc.greater(b["c"], 1), pa.int64()),
+                "doc_id": pa.array(uds, pa.int64()),
+                "one": pa.array(np.bincount(inv), pa.int64()),
+                "dup": pa.array(
+                    np.bincount(inv, weights=dup).astype(np.int64), pa.int64()
+                ),
             }
         )
 
     per_doc = (
-        j.map_batches(partial, batch_format="pyarrow")
+        docs.map_batches(windows, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=_parts())
+        .map_groups(doc_partials, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("one"), Sum("dup"))
     )
