@@ -543,8 +543,11 @@ def _jaccard_pairs_from_shingle_stream(
 
     def markers_and_pairs(g: pa.Table) -> pa.Table:
         # one vectorized pass over ONE bucket's (sh, doc_id) rows: sort by
-        # (sh, doc_id), recover per-shingle runs, emit size markers for
-        # admitted (df ≤ max_df) shingles and pairs for df ≥ 2 runs
+        # (sh, doc_id), recover per-shingle runs, emit PER-DOC admitted
+        # (df ≤ max_df) shingle-count partials (b = -1, w = count — a
+        # per-occurrence marker row would make the sizes groupby re-shuffle
+        # the whole stream; the partial collapses it to ≤ docs-per-bucket
+        # rows) and pairs (w = 1) for df ≥ 2 runs
         shs = g["sh"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, shs))
@@ -552,18 +555,22 @@ def _jaccard_pairs_from_shingle_stream(
         _, starts, counts = np.unique(shs, return_index=True, return_counts=True)
         admitted = counts <= max_df
         marker_mask = np.repeat(admitted, counts)
-        a_parts = [ids[marker_mask]]
-        b_parts = [np.full(int(marker_mask.sum()), -1, np.int64)]
+        mdocs, mcounts = np.unique(ids[marker_mask], return_counts=True)
+        a_parts = [mdocs]
+        b_parts = [np.full(len(mdocs), -1, np.int64)]
+        w_parts = [mcounts.astype(np.int64)]
         for s, c in zip(starts[admitted & (counts > 1)],
                         counts[admitted & (counts > 1)]):
             run = ids[s : s + c]  # already sorted (lexsort tie-break)
             iu, ju = np.triu_indices(c, 1)
             a_parts.append(run[iu])
             b_parts.append(run[ju])
+            w_parts.append(np.ones(len(iu), np.int64))
         return pa.table(
             {
                 "a": pa.array(np.concatenate(a_parts), pa.int64()),
                 "b": pa.array(np.concatenate(b_parts), pa.int64()),
+                "w": pa.array(np.concatenate(w_parts), pa.int64()),
             }
         )
 
@@ -574,13 +581,14 @@ def _jaccard_pairs_from_shingle_stream(
     )
     sizes = _rename(
         stream.filter(expr="b == -1")
-        .select_columns(["a"])
+        .select_columns(["a", "w"])
         .groupby("a", num_partitions=_parts())
-        .count(),
+        .sum("w"),
         ["doc_id", "nsh"],
     ).materialize()
     inter = _rename(
         stream.filter(expr="b >= 0")
+        .select_columns(["a", "b"])
         .groupby(["a", "b"], num_partitions=_parts())
         .count(),
         ["a", "b", "inter"],
