@@ -90,3 +90,53 @@ def test_frontier_filter_decisions_distribution(ray_session):
     for k in ("kept", "nofollow", "urllength/filtered", "offsite/filtered",
               "depth/filtered"):
         assert c[k] >= 1, (k, c)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _edge_case(draw):
+    host = draw(st.sampled_from(
+        ["good.test", "sub.good.test", "evil.test", "x.y.test"]))
+    path = draw(st.text(
+        alphabet="abcdefgh/", min_size=0, max_size=60))
+    scheme = draw(st.sampled_from(["http://", "https://", "mailto:", ""]))
+    url = f"{scheme}{host}/{path}" if scheme.endswith("//") else scheme + path
+    return (
+        url,
+        draw(st.booleans()),
+        draw(st.integers(min_value=0, max_value=5)),
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=st.lists(_edge_case(), min_size=1, max_size=12))
+def test_filter_chain_matches_per_row_reference(rows):
+    """Vectorized candidate_filter_reasons == the per-row reference
+    precedence (nofollow → urllength → badurl → offsite → depth)."""
+    from scrupyst_ray.functions.urlnorm import (
+        host_is_from_any_domain,
+        parse_host,
+    )
+
+    cfg = CrawlConfig(
+        urllength_limit=30, depth_limit=3, allowed_domains=["good.test"]
+    )
+
+    def ref(url, nofollow, parent_depth):
+        if nofollow:
+            return DROP_NOFOLLOW
+        if len(url) > 30:
+            return DROP_URLLENGTH
+        if not parse_host(url):
+            return DROP_BADURL
+        if not host_is_from_any_domain(url, ["good.test"]):
+            return DROP_OFFSITE
+        if parent_depth + 1 > 3:
+            return DROP_DEPTH
+        return KEEP
+
+    reason, _, _ = candidate_filter_reasons(_edges(rows), cfg)
+    assert reason.tolist() == [ref(*r) for r in rows]
