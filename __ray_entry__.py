@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup_keep,
         "minhash_pairs": dedup.minhash_pairs,
         "minhash_recall": dedup.minhash_recall,
+        "minhash_signature_check": dedup.minhash_signature_check,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "simhash_pairs": dedup.simhash_pairs,
         "simhash_recall": dedup.simhash_recall,
@@ -1004,6 +1005,51 @@ def _crawl_bfo_oracle(
         if pagecount else ""))
 
 
+def _minhash_sig_oracle(num_perm: int = 128) -> str:
+    """SQL twin of ``dedup.minhash_signature_check`` — the (a_i, b_i)
+    permutation constants come from the SAME deterministic ``MinHasher``
+    construction (fixed seed), embedded as literals so DuckDB recomputes
+    every signature value independently of the Ray pipeline."""
+    from scrupyst_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm)
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    m61 = (1 << 61) - 1
+    m64 = 1 << 64
+    return f"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS words
+                   FROM documents),
+        sh0 AS (
+          SELECT doc_id,
+                 array_to_string(
+                     words[CAST(j AS BIGINT) : CAST(j AS BIGINT) + 2], ' '
+                 ) AS s
+          FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) t(j)
+          WHERE len(words) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(words, ' ')
+          FROM w WHERE len(words) < 3),
+        shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+        x AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)
+                         % {m61} AS x
+              FROM shd),
+        perms(i, a, b) AS (VALUES {perm_rows}),
+        v AS (SELECT x.doc_id, p.i,
+                     CAST(((CAST(p.a AS HUGEINT) * x.x) % {m64} + p.b)
+                          % {m64} % {m61} AS UBIGINT) AS val
+              FROM perms p, x),
+        m AS (SELECT doc_id, i, MIN(val) AS mv FROM v GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(SUM(CAST(mv AS HUGEINT)) % 2147483647 AS BIGINT)
+                   AS sig_checksum
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(f"'{w}'" for w in _SW)
     # the decompress_roundtrip query runs over the deterministic synthetic
@@ -1225,6 +1271,12 @@ def oracle_sql() -> dict[str, str]:
         # MinHash-LSH quality gate: n_exact_pairs recomputed independently
         # (same inverted-index CTE), recall_floor_ok flips FALSE if the
         # signature math / banding / candidate shuffle drop true pairs
+        # MinHash SIGNATURE-math gate: DuckDB rebuilds the k=3-token
+        # shingles, the md5→uint64 hash, the permutation map with the SAME
+        # (a_i, b_i) literals (mod-2^64 wraparound emulated via HUGEINT to
+        # match numpy uint64 overflow), the per-perm min, and the per-doc
+        # checksum — fully data-dependent (see dedup.minhash_signature_check)
+        "minhash_signature_check": _minhash_sig_oracle(),
         # SimHash banded-pipeline gate: DuckDB re-derives every 64-bit
         # md5-variant signature from the text (md5 token hashes + bit-vote
         # arithmetic — verified equal to simhash64_md5 bit-for-bit), brute

@@ -37,6 +37,26 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
+def shingle_hashes_md5(text: str, k: int = 3) -> np.ndarray:
+    """``shingle_hashes`` with md5-derived shingle hashes (first 8 hex
+    bytes, big-endian) — the SQL-recomputable twin (DuckDB rebuilds the
+    same k-token shingles with ``array_to_string`` over
+    ``regexp_extract_all(text, '\\S+')`` and the same hex-cast hash).
+    Used by the driver-visible ``minhash_signature_check`` gate; the
+    production pipeline keeps blake2b."""
+    from hashlib import md5
+
+    toks = ws_tokens(text)
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = {
+        int.from_bytes(md5(s.encode()).digest()[:8], "big") for s in shingles
+    }
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
 class MinHasher:
     """num_perm universal hash functions h_i(x) = (a_i*x + b_i) mod p,
     vectorized over all shingles at once.  Deterministic (fixed seed)."""

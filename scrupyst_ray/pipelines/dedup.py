@@ -31,6 +31,7 @@ from scrupyst_ray.functions.dedup import (
     MinHasher,
     band_keys,
     shingle_hashes,
+    shingle_hashes_md5,
     simhash64,
     simhash64_md5,
     simhash_band_keys,
@@ -671,6 +672,42 @@ def minhash_recall(
             "n_exact_pairs": pa.array([r[1] for r in rows], pa.int64()),
             "recall_floor_ok": pa.array([r[2] for r in rows], pa.bool_()),
         }
+    )
+
+
+def minhash_signature_check(sf_dir: str, num_perm: int = 128):
+    """(doc_id, sig_checksum) — the SIGNATURE-math gate completing the
+    MinHash family's falsifiability (``minhash_recall`` gates banding
+    recall; this gates the permutation arithmetic itself): per document,
+    the checksum of the full num_perm MinHash signature over md5-hashed
+    shingles, recomputed INDEPENDENTLY by the SQL oracle — DuckDB rebuilds
+    the k-token shingles, the md5→uint64 hash, the Carter-Wegman-ish
+    ``((a·x mod 2⁶⁴) + b) mod 2⁶⁴ mod (2⁶¹−1)`` map (the mod-2⁶⁴
+    wraparound matches numpy's uint64 overflow exactly) with the SAME
+    (a_i, b_i) constants embedded as literals, and the per-permutation
+    min-reduction.  Any divergence in shingling, hashing, the permutation
+    formula, or the min flips per-doc checksums.
+
+    Scale shape: one map_batches pass, one int64 row per document."""
+    hasher = MinHasher(num_perm)
+
+    def sigs(b: pa.Table) -> pa.Table:
+        ids, sums = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            sig = hasher.signature(shingle_hashes_md5(t, 3))
+            ids.append(d)
+            sums.append(int(sum(int(v) for v in sig)) % 2147483647)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig_checksum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sigs, batch_format="pyarrow")
+        .sort("doc_id")
     )
 
 

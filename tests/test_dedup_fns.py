@@ -159,3 +159,16 @@ def test_simhash_recall_gate(ray_session):
     assert 0 <= n2 <= n3
     s2, s3 = t["pair_id_sum"].to_pylist()
     assert (n2 == 0) == (s2 == 0)
+
+
+def test_minhash_signature_check_gate(ray_session):
+    """Per-doc signature checksums are deterministic and one per document
+    (full arithmetic parity vs the SQL twin is the driver/validate gate)."""
+    from scrupyst_ray.pipelines.dedup import minhash_signature_check
+
+    t = minhash_signature_check("/root/testdata/sf0.001")
+    t2 = minhash_signature_check("/root/testdata/sf0.001")
+    assert t.to_pandas().equals(t2.to_pandas())
+    df = t.to_pandas()
+    assert len(df) == 500 and df.doc_id.is_unique
+    assert (df.sig_checksum >= 0).all() and df.sig_checksum.nunique() > 100
