@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "httpcache_decisions": webops.httpcache_decisions,
         "robots_decisions": webops.robots_decisions,
         "frontier_filter_decisions": webops.frontier_filter_decisions,
+        "autothrottle_trajectory": webops.autothrottle_trajectory,
         "middleware_quality_gate": webops.middleware_quality_gate,
         "decompress_roundtrip": webops.decompress_roundtrip,
         "referer_edges": webops.referer_edges,
@@ -1005,6 +1006,45 @@ def _crawl_bfo_oracle(
         if pagecount else ""))
 
 
+
+
+def _autothrottle_oracle(n_hosts: int = 5, n_steps: int = 10) -> str:
+    """Unrolled SQL twin of the ST5 feedback controller (see
+    webops.autothrottle_trajectory): one CTE per step applying
+    target = latency; cand = max(target, (old+target)/2) clamped to
+    [0, 60]; keep old on error steps that would decrease."""
+    parts = [
+        "WITH hosts(h) AS (VALUES "
+        + ", ".join(f"({i})" for i in range(n_hosts))
+        + "),",
+        "d0 AS (SELECT h, CAST(5.0 AS DOUBLE) AS delay FROM hosts)",
+    ]
+    for t in range(n_steps):
+        parts.append(f""",
+        d{t + 1} AS (
+          SELECT h,
+                 CASE WHEN ((h + {t}) % 5 = 0) AND
+                           least(greatest(0.0, greatest(
+                               0.1 + ((h * 7 + {t} * 13) % 40) / 10.0,
+                               (delay + 0.1 + ((h * 7 + {t} * 13) % 40)
+                                    / 10.0) / 2.0)), 60.0) <= delay
+                      THEN delay
+                      ELSE least(greatest(0.0, greatest(
+                               0.1 + ((h * 7 + {t} * 13) % 40) / 10.0,
+                               (delay + 0.1 + ((h * 7 + {t} * 13) % 40)
+                                    / 10.0) / 2.0)), 60.0)
+                 END AS delay
+          FROM d{t})""")
+    sel = " UNION ALL ".join(
+        f"SELECT printf('host%03d.test', h) AS host, "
+        f"CAST({t} AS BIGINT) AS step, printf('%.4f', delay) AS delay "
+        f"FROM d{t + 1}"
+        for t in range(n_steps)
+    )
+    parts.append(f" {sel} ORDER BY host, step")
+    return "".join(parts)
+
+
 def _minhash_sig_oracle(num_perm: int = 128) -> str:
     """SQL twin of ``dedup.minhash_signature_check`` — the (a_i, b_i)
     permutation constants come from the SAME deterministic ``MinHasher``
@@ -1277,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         # match numpy uint64 overflow), the per-perm min, and the per-doc
         # checksum — fully data-dependent (see dedup.minhash_signature_check)
         "minhash_signature_check": _minhash_sig_oracle(),
+        # ST5 AutoThrottle recurrence, steps unrolled (see webops)
+        "autothrottle_trajectory": _autothrottle_oracle(),
         # SimHash banded-pipeline gate: DuckDB re-derives every 64-bit
         # md5-variant signature from the text (md5 token hashes + bit-vote
         # arithmetic — verified equal to simhash64_md5 bit-for-bit), brute

@@ -773,6 +773,70 @@ def frontier_filter_decisions(sf_dir: str):
     )
 
 
+def autothrottle_trajectory(sf_dir: str, n_hosts: int = 5, n_steps: int = 10):
+    """ST5 AutoThrottle as a driver-visible query: replay a deterministic
+    (host, step, latency, ok) observation series through the ENGINE's
+    ``AutoThrottleState`` controller — one state instance per host group
+    (``groupby(host).map_groups``, the cookie-jar pattern: the slot delay
+    is order-dependent per-host state) — emitting the delay after every
+    step.  The series is formula-derived (latency = 0.1 + ((7h+13t) mod
+    40)/10, ok = (h+t) mod 5 ≠ 0), so the SQL oracle re-derives the full
+    reference recurrence (target = latency/C; new = max(target,
+    (old+target)/2) clamped to [min,max]; NO DECREASE on error rounds)
+    with the steps unrolled — a wrong feedback formula, clamp order, or
+    error-branch flips rows."""
+    import numpy as np
+
+    from scrupyst_ray.state.throttle import AutoThrottleState
+
+    rows_h, rows_t = np.meshgrid(
+        np.arange(n_hosts), np.arange(n_steps), indexing="ij"
+    )
+    h = rows_h.ravel()
+    t = rows_t.ravel()
+    obs = pa.table(
+        {
+            "host": pa.array(
+                [f"host{int(x):03d}.test" for x in h], pa.string()
+            ),
+            "step": pa.array(t, pa.int64()),
+            "latency": pa.array(
+                0.1 + ((h * 7 + t * 13) % 40) / 10.0, pa.float64()
+            ),
+            "ok": pa.array((h + t) % 5 != 0, pa.bool_()),
+        }
+    )
+
+    def replay(g: pa.Table) -> pa.Table:
+        g = g.sort_by("step")
+        state = AutoThrottleState()
+        host = g["host"][0].as_py()
+        delays = []
+        for step, lat, ok in zip(
+            g["step"].to_pylist(),
+            g["latency"].to_pylist(),
+            g["ok"].to_pylist(),
+        ):
+            state.observe_round(step, [host], [lat], [ok])
+            delays.append(state.delay_for(host))
+        return pa.table(
+            {
+                "host": g["host"],
+                "step": g["step"],
+                "delay": pa.array(
+                    [f"{d:.4f}" for d in delays], pa.string()
+                ),
+            }
+        )
+
+    return (
+        ray.data.from_arrow(obs)
+        .groupby("host")
+        .map_groups(replay, batch_format="pyarrow")
+        .sort(["host", "step"])
+    )
+
+
 def middleware_quality_gate(sf_dir: str):
     """§2.10 middleware chains as a data-pipeline operator: the documents
     table through a priority-ordered batch-transform chain — a length gate
