@@ -1319,6 +1319,38 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature_check": _minhash_sig_oracle(),
         # ST5 AutoThrottle recurrence, steps unrolled (see webops)
         "autothrottle_trajectory": _autothrottle_oracle(),
+        # LSH-verified n-gram Jaccard pairs: on the gate corpora every
+        # true pair sits far above the banding detection knee (measured
+        # min j = 0.9 vs the ~0.56 detect probability at j = 0.4), so the
+        # verified output EQUALS the exact uncapped pair set and DuckDB
+        # recomputes it from the texts; minhash_recall independently
+        # guards the recall assumption this equality rests on
+        "ngram_jaccard_pairs": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                       FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     array_to_string(
+                         words[CAST(j AS BIGINT) : CAST(j AS BIGINT) + 2],
+                         ' ') AS s
+              FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) t(j)
+              WHERE len(words) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(words, ' ')
+              FROM w WHERE len(words) < 3),
+            shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                      FROM shd a JOIN shd b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            j AS (SELECT a, b, i * 1.0 / (sa.n + sb.n - i) AS jac
+                  FROM inter
+                  JOIN sz sa ON sa.doc_id = a
+                  JOIN sz sb ON sb.doc_id = b)
+            SELECT a, b, ROUND(jac, 4) AS jaccard
+            FROM j WHERE jac >= 0.4 ORDER BY a, b
+        """,
         # SimHash banded-pipeline gate: DuckDB re-derives every 64-bit
         # md5-variant signature from the text (md5 token hashes + bit-vote
         # arithmetic — verified equal to simhash64_md5 bit-for-bit), brute
