@@ -1351,6 +1351,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, ROUND(jac, 4) AS jaccard
             FROM j WHERE jac >= 0.4 ORDER BY a, b
         """,
+        # minhash dedup keep-set: same empirical-equality argument as
+        # ngram_jaccard_pairs — every true pair sits far above both the
+        # banding knee and the est≈j gap at 0.5 (min true j = 0.9), so the
+        # kept set equals the exact uncapped anti-join; the signature and
+        # recall gates guard that assumption independently
+        "minhash_dedup_keep": """
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+                       FROM documents),
+            sh0 AS (
+              SELECT doc_id,
+                     array_to_string(
+                         words[CAST(j AS BIGINT) : CAST(j AS BIGINT) + 2],
+                         ' ') AS s
+              FROM w, UNNEST(range(1, greatest(len(words) - 1, 1))) t(j)
+              WHERE len(words) >= 3
+              UNION ALL
+              SELECT doc_id, array_to_string(words, ' ')
+              FROM w WHERE len(words) < 3),
+            shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                      FROM shd a JOIN shd b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            j AS (SELECT a, b, i * 1.0 / (sa.n + sb.n - i) AS jac
+                  FROM inter
+                  JOIN sz sa ON sa.doc_id = a
+                  JOIN sz sb ON sb.doc_id = b)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM j WHERE jac >= 0.5)
+            ORDER BY doc_id
+        """,
+        # PQ ADC + exact rerank top-10: the R=50 shortlist's recall is 1.0
+        # on the gate corpora (pq_recall_floor guards it), so the reranked
+        # list equals the exact squared-L2 ranking, which DuckDB recomputes
+        # as 2 - 2*cos on the unit-normalized vectors
+        "pq_adc_topk": """
+            WITH qv AS (SELECT embedding AS qe FROM embeddings
+                        WHERE vec_id = 0),
+            s AS (SELECT e.vec_id,
+                         CAST(2 - 2 * list_cosine_similarity(e.embedding,
+                                                             qv.qe)
+                             AS DOUBLE) AS d
+                  FROM embeddings e, qv)
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   ROUND(d, 4) AS adc_dist
+            FROM s ORDER BY d, vec_id LIMIT 10
+        """,
         # SimHash banded-pipeline gate: DuckDB re-derives every 64-bit
         # md5-variant signature from the text (md5 token hashes + bit-vote
         # arithmetic — verified equal to simhash64_md5 bit-for-bit), brute
@@ -2120,6 +2168,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
                    CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
             FROM t GROUP BY source ORDER BY source
+        """,
+        # the sketch ESTIMATE itself, recomputed in SQL: the HDR-style
+        # bucket layout is pure integer math (e = floor(log2 n); bucket =
+        # e*32 + top-5 mantissa bits, exact below 2^5) and the estimate is
+        # the lower bound of the bucket holding rank ceil(q*n) — so DuckDB
+        # re-derives the full sketch output, not just a bound on it
+        # (functions/sketches.py; zero-token docs carry no length signal
+        # and are excluded, matching hist_partials)
+        "doc_length_quantiles_sketch": """
+            WITH t AS (SELECT source,
+                              len(regexp_extract_all(text, '\S+')) AS n
+                       FROM documents),
+            tv AS (SELECT source, n FROM t WHERE n >= 1),
+            b AS (SELECT source, n,
+                         CAST(floor(log2(n)) AS BIGINT) AS e FROM tv),
+            bk AS (SELECT source,
+                          CASE WHEN e < 5 THEN n
+                               ELSE e * 32 + ((n >> greatest(e - 5, 0)) & 31)
+                          END AS bucket
+                   FROM b),
+            h AS (SELECT source, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+            cum AS (SELECT source, bucket,
+                           SUM(c) OVER (PARTITION BY source
+                                        ORDER BY bucket) AS cum,
+                           SUM(c) OVER (PARTITION BY source) AS n
+                    FROM h),
+            pick AS (SELECT source,
+                MIN(CASE WHEN cum >= greatest(1,
+                        CAST(ceil(0.5 * n) AS BIGINT)) THEN bucket END) AS q50,
+                MIN(CASE WHEN cum >= greatest(1,
+                        CAST(ceil(0.9 * n) AS BIGINT)) THEN bucket END) AS q90,
+                MIN(CASE WHEN cum >= greatest(1,
+                        CAST(ceil(0.99 * n) AS BIGINT)) THEN bucket END) AS q99
+                FROM cum GROUP BY source)
+            SELECT source,
+                   CASE WHEN q50 < 160 THEN q50
+                        ELSE (CAST(1 AS BIGINT) << (q50 // 32))
+                             + ((q50 % 32) << greatest(q50 // 32 - 5, 0))
+                   END AS p50,
+                   CASE WHEN q90 < 160 THEN q90
+                        ELSE (CAST(1 AS BIGINT) << (q90 // 32))
+                             + ((q90 % 32) << greatest(q90 // 32 - 5, 0))
+                   END AS p90,
+                   CASE WHEN q99 < 160 THEN q99
+                        ELSE (CAST(1 AS BIGINT) << (q99 // 32))
+                             + ((q99 % 32) << greatest(q99 // 32 - 5, 0))
+                   END AS p99
+            FROM pick ORDER BY source
         """,
         # log-bucket sketch accuracy gate: exact quantiles recomputed
         # independently (data-dependent); sketch_ok earned Ray-side
