@@ -270,9 +270,14 @@ def hits(sf_dir: str, iters: int = 5, H: int = 8, P: int = 50):
             "s", pa.array([1.0 / n] * b.num_rows, pa.float64())
         )
 
+    from scrupyst_ray.pipelines.joins import collect_table
+
     def half_step(scores, join_key: str, group_key: str):
         """scores(url,s) pushed across edges joined on *join_key*, summed per
-        *group_key*, L1-normalized over the node set."""
+        *group_key*, L1-normalized over the node set.  Small path: ONE
+        collection serves both the L1 total and the broadcast lookup (same
+        fusion as pagerank — the separate ``.sum()`` execution per half-step
+        was pure executor-startup overhead at gate scale)."""
         pushed = attach_by_key(edges, scores, join_key, "s").map_batches(
             lambda t: pa.table({"url": t[group_key], "c": t["s"]}),
             batch_format="pyarrow",
@@ -280,10 +285,24 @@ def hits(sf_dir: str, iters: int = 5, H: int = 8, P: int = 50):
         summed = rename(
             pushed.groupby("url").sum("c"), ["url", "s"]
         ).materialize()
-        total = summed.sum("s") or 1.0
+        n_sum = summed.count()
+        if n_sum > 0 and _small_enough(summed, n_sum):
+            t_in = collect_table(summed.select_columns(["url", "s"]))
+            total = float(pc.sum(t_in["s"]).as_py() or 0.0) or 1.0
+            ref = ray.put(
+                (t_in["url"].combine_chunks(), t_in["s"].combine_chunks())
+            )
+            attached = nodes.map_batches(
+                lambda b, ref=ref: attach_from_lookup(
+                    b, "url", "s", ref, fill=0.0
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            total = summed.sum("s") or 1.0
+            attached = _left_attach_fill0(nodes, summed, n_sum)
         return (
-            _left_attach_fill0(nodes, summed, summed.count())
-            .map_batches(
+            attached.map_batches(
                 lambda t, total=total: pa.table(
                     {
                         "url": t["url"],
