@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, [0, 7, 23, 41], 10, m=16, n_codes=256, rerank=50
         ),
         "pq_recall_floor": lambda sf: _pq().pq_recall_floor(sf),
+        "ivfpq_topk": lambda sf: _pq().ivfpq_topk(sf),
+        "ivfpq_recall_floor": lambda sf: _pq().ivfpq_recall_floor(sf),
         "pq_code_stats": lambda sf: _pq().pq_code_stats(
             sf, m=16, n_codes=256
         ),
@@ -1564,6 +1566,27 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.4f', c) AS cos
             FROM r WHERE rn <= 10
             ORDER BY query_id, c DESC, vec_id
+        """,
+        # composed IVF-PQ partial-probe gate (coarse quantizer shared with
+        # the IVF-Flat index): exact id-sums data-dependent; recall >= 0.4
+        # and top-1 survival earned Ray-side over the cell-partitioned
+        # uint8 codes
+        "ivfpq_recall_floor": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 7, 23, 41)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         CAST(list_cosine_similarity(e.embedding, q.qe)
+                             AS DOUBLE) AS c
+                  FROM q, embeddings e),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c DESC, vec_id) AS rn
+                  FROM s)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(SUM(vec_id) AS BIGINT) AS exact_topk_id_sum,
+                   TRUE AS ivfpq_recall_ok, TRUE AS top1_ok
+            FROM r WHERE rn <= 10
+            GROUP BY query_id ORDER BY query_id
         """,
         # IVF machinery gate: at full probe the partitioned index must be
         # lossless, so recall vs brute force is exactly 1.0 per query

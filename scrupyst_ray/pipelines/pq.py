@@ -24,6 +24,8 @@ on the synthetic embeddings, reconstruction-error sanity.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -256,6 +258,250 @@ def adc_topk(
             "query_id": pa.array(out_q, pa.int64()),
             "vec_id": pa.array(out_v, pa.int64()),
             "adc_dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
+_IVFPQ_VERSION = 1
+
+
+def _ivfpq_root(sf_dir: str, n_clusters: int, m: int, n_codes: int) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        "/tmp",
+        f"scrupyst_ivfpq_v{_IVFPQ_VERSION}_{base}"
+        f"_c{n_clusters}_m{m}_k{n_codes}",
+    )
+
+
+def build_ivfpq_store(
+    sf_dir: str, n_clusters: int = 16, m: int = 16, n_codes: int = 256
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """One-time IVF-PQ store → (codes_dir, centroids, codebooks): the
+    canonical composed scale-ANN layout (Jégou '11 IVFADC) — every vector
+    is quantized to its IVF cell AND PQ-encoded to m uint8 codes in ONE
+    streaming pass, written under ``cell=<c>/`` hive partitions.  A query
+    later reads only its nprobe cells' partitions of uint8 codes: probe
+    I/O ≈ (nprobe / n_clusters) · N · m bytes — neither the floats nor the
+    other cells ever move.  The coarse quantizer is SHARED with the
+    IVF-Flat index (``build_ivf_index`` — same centroids, same cells), so
+    the two indexes stay consistent.  ``cell_id`` is duplicated as a data
+    column because hive partition values don't ride into partition-file
+    reads (see ``ann._read_cells``).  Idempotent via a ``_COMPLETE``
+    marker, like every derived store."""
+    from scrupyst_ray.pipelines.ann import build_ivf_index
+
+    root = _ivfpq_root(sf_dir, n_clusters, m, n_codes)
+    codes_dir = os.path.join(root, "codes")
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return (
+            codes_dir,
+            np.load(os.path.join(root, "centroids.npy")),
+            np.load(os.path.join(root, "books.npy")),
+        )
+
+    books = train_codebooks(sf_dir, m, n_codes)
+    _, centroids = build_ivf_index(sf_dir, n_clusters)
+    cent_ref = ray.put(centroids)
+    books_ref = ray.put(books)
+
+    def assign_encode(b: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        bks = ray.get(books_ref)
+        ids, x = _to_matrix(b)
+        x = _normalize(x)
+        cell = (x @ cents.T).argmax(axis=1).astype(np.int64)
+        mm, _, sub = bks.shape
+        codes = np.empty((len(x), mm), np.uint8)
+        for j in range(mm):
+            xs = x[:, j * sub : (j + 1) * sub]
+            dots = xs @ bks[j].T
+            codes[:, j] = np.argmin(
+                (bks[j] ** 2).sum(axis=1)[None, :] - 2 * dots, axis=1
+            ).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+                "cell_id": pa.array(cell, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    import shutil
+
+    shutil.rmtree(codes_dir, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    _emb(sf_dir).map_batches(assign_encode, batch_format="pyarrow").write_parquet(
+        codes_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(root, "centroids.npy"), centroids)
+    np.save(os.path.join(root, "books.npy"), books)
+    with open(marker, "w") as f:
+        f.write(f"c={n_clusters} m={m} k={n_codes}\n")
+    return codes_dir, centroids, books
+
+
+def ivfpq_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_clusters: int = 16,
+    m: int = 16,
+    n_codes: int = 256,
+    nprobe: int = 4,
+    rerank: int = 50,
+):
+    """(query_id, vec_id, adc_dist) — IVFADC+R over the composed store:
+    probe the nprobe nearest cells, ADC-scan ONLY their uint8 codes against
+    broadcast lookup tables, per-batch local shortlists, exact rerank of
+    the R-candidate shortlist (float rows fetched by id pushdown).
+    ``adc_dist`` carries the exact squared L2 after rerank (monotonic in
+    cosine on the unit-normalized vectors)."""
+    from scrupyst_ray.pipelines.ann import _read_cells
+
+    if query_ids is None:
+        query_ids = [0, 7, 23, 41]
+    codes_dir, centroids, books = build_ivfpq_store(
+        sf_dir, n_clusters, m, n_codes
+    )
+    q = _normalize(load_query_vectors(sf_dir, query_ids))
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    probed_union = sorted({int(c) for c in probe_cells.flatten()})
+    mm, _, sub = books.shape
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((q[qi, j * sub : (j + 1) * sub][None, :] - books[j]) ** 2)
+                    .sum(axis=1)
+                    for j in range(mm)
+                ]
+            )
+            for qi in range(len(q))
+        ]
+    )
+    luts_ref = ray.put(luts)
+    probe_ref = ray.put(probe_cells)
+    qids_arr = list(query_ids)
+    shortlist = max(k, rerank)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        lt = ray.get(luts_ref)
+        probes = ray.get(probe_ref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        cells = b["cell_id"].to_numpy(zero_copy_only=False)
+        cm = np.stack(
+            [np.frombuffer(c, np.uint8) for c in b["code"].to_pylist()]
+        )
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(qids_arr):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            dist = lt[qi][np.arange(cm.shape[1])[None, :], cm[mask]].sum(axis=1)
+            kk = min(shortlist, len(sub_ids))
+            top = np.argpartition(dist, kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_v.extend(sub_ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc_dist": pa.array(out_d, pa.float64()),
+            }
+        )
+
+    parts = (
+        _read_cells(codes_dir, probed_union)
+        .map_batches(local_topk, batch_format="pyarrow")
+        .take_all()  # bounded: #batches × shortlist × |q| rows
+    )
+    rows = sorted(
+        parts, key=lambda r: (r["query_id"], r["adc_dist"], r["vec_id"])
+    )
+    per_q: dict[int, list] = {}
+    for r in rows:
+        mine = per_q.setdefault(r["query_id"], [])
+        if len(mine) < rerank:
+            mine.append(r["vec_id"])
+    all_ids = sorted({v for vs in per_q.values() for v in vs})
+    vecs = _normalize(load_query_vectors(sf_dir, all_ids))
+    pos = {v: i for i, v in enumerate(all_ids)}
+    out_q, out_v, out_d = [], [], []
+    for qi, qid in enumerate(qids_arr):
+        cand = per_q.get(qid, [])
+        if not cand:
+            continue
+        d = ((vecs[[pos[v] for v in cand]] - q[qi][None, :]) ** 2).sum(axis=1)
+        order = sorted(zip(d, cand))[:k]
+        out_q.extend([qid] * len(order))
+        out_v.extend(v for _, v in order)
+        out_d.extend(round(float(dd), 4) for dd, _ in order)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "adc_dist": pa.array(out_d, pa.float64()),
+        }
+    )
+
+
+def ivfpq_recall_floor(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    nprobe: int = 4,
+    floor: float = 0.4,
+):
+    """(query_id, exact_topk_id_sum, ivfpq_recall_ok, top1_ok) — the
+    partial-probe gate for the composed IVF-PQ index (the
+    ``ann_ivf_recall_probe4`` / ``pq_recall_floor`` pattern): exact cosine
+    top-k id-sums recomputed independently by the SQL oracle, plus two
+    booleans the nprobe-limited ADC+R path must EARN — recall@k ≥ floor
+    (the 0.4 floor matches the IVF-Flat probe4 gate: the stores share the
+    coarse quantizer, and cell coverage — not the ADC cut — is the binding
+    loss; a broken router scores ~nprobe/n_clusters ≈ 0.25) and the exact
+    top-1 surviving (it lands in the query's own nearest cell and the
+    rerank is exact)."""
+    from scrupyst_ray.pipelines.ann import brute_force_topk
+
+    if query_ids is None:
+        query_ids = [0, 7, 23, 41]
+    approx = ivfpq_topk(sf_dir, query_ids, k, nprobe=nprobe)
+    exact = brute_force_topk(sf_dir, query_ids, k)
+    got: dict[int, set] = {}
+    for qid, vid in zip(
+        approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()
+    ):
+        got.setdefault(qid, set()).add(vid)
+    want: dict[int, set] = {}
+    sums: dict[int, int] = {}
+    top1: dict[int, int] = {}
+    for qid, vid in zip(
+        exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()
+    ):
+        want.setdefault(qid, set()).add(vid)
+        sums[qid] = sums.get(qid, 0) + vid
+        top1.setdefault(qid, vid)  # brute_force_topk rows are ranked
+    qs = sorted(want)
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "exact_topk_id_sum": pa.array([sums[q] for q in qs], pa.int64()),
+            "ivfpq_recall_ok": pa.array(
+                [
+                    len(got.get(q, set()) & want[q]) / len(want[q]) >= floor
+                    for q in qs
+                ],
+                pa.bool_(),
+            ),
+            "top1_ok": pa.array(
+                [top1[q] in got.get(q, set()) for q in qs], pa.bool_()
+            ),
         }
     )
 

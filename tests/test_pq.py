@@ -76,3 +76,42 @@ def test_pq_recall_floor_gate(ray_session):
     assert t["query_id"].to_pylist() == [0, 7, 23, 41]
     assert all(t["pq_recall_ok"].to_pylist())
     assert all(s > 0 for s in t["exact_topk_id_sum"].to_pylist())
+
+
+class TestIvfPq:
+    def test_store_partitioned_and_code_bounded(self, ray_session):
+        import os
+
+        from scrupyst_ray.pipelines.pq import build_ivfpq_store
+
+        codes_dir, cents, books = build_ivfpq_store(SF)
+        cells = [d for d in os.listdir(codes_dir) if d.startswith("cell=")]
+        assert 2 <= len(cells) <= 16
+        assert cents.shape == (16, 64) and books.shape == (16, 256, 4)
+
+    def test_probe_reads_only_probed_cells(self, ray_session):
+        from scrupyst_ray.pipelines.ann import _read_cells
+        from scrupyst_ray.pipelines.pq import build_ivfpq_store
+
+        codes_dir, _, _ = build_ivfpq_store(SF)
+        part = _read_cells(codes_dir, [0, 1]).take_all()
+        assert all(r["cell_id"] in (0, 1) for r in part)
+        assert len(part) < 500  # strictly probe-bounded
+
+    def test_recall_floor_and_top1(self, ray_session):
+        from scrupyst_ray.pipelines.pq import ivfpq_recall_floor
+
+        t = ivfpq_recall_floor(SF)
+        assert all(t["ivfpq_recall_ok"].to_pylist())
+        assert all(t["top1_ok"].to_pylist())
+        # impossible floor → the boolean reacts to the data
+        t2 = ivfpq_recall_floor(SF, [0], floor=1.01)
+        assert t2["ivfpq_recall_ok"].to_pylist() == [False]
+
+    def test_full_probe_rerank_is_exact(self, ray_session):
+        from scrupyst_ray.pipelines.ann import brute_force_topk
+        from scrupyst_ray.pipelines.pq import ivfpq_topk
+
+        full = ivfpq_topk(SF, [0, 7], 10, nprobe=16, rerank=500)
+        bf = brute_force_topk(SF, [0, 7], 10)
+        assert full["vec_id"].to_pylist() == bf["vec_id"].to_pylist()
