@@ -13,6 +13,7 @@ calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import Any
@@ -62,7 +63,13 @@ def _run_crawl(
     if depth_limit:
         wd = f"{wd}_dl{depth_limit}"
     if allowed_domains:
-        wd = f"{wd}_ad{len(allowed_domains)}"
+        # key on the SET of domains, not just its size — two variants with
+        # different domains but equal counts must never share cached
+        # artifacts (round-5 ADVICE)
+        ad_key = hashlib.sha1(
+            "|".join(sorted(allowed_domains)).encode()
+        ).hexdigest()[:8]
+        wd = f"{wd}_ad{ad_key}"
     cfg = CrawlConfig(
         seen_shards=4,
         fetch_buckets=4,
@@ -873,6 +880,16 @@ def _crawl_bfo_oracle(
     cuts candidates whose child depth exceeds it (M6); ``allowed_h``
     restricts candidate hosts to the given h numbers (M4 offsite — seeds
     bypass, matching the reference's unfiltered start requests)."""
+    # computed up front and interpolated like depth_cut/offsite_cut — a
+    # trailing .format() over the assembled SQL would reprocess every
+    # literal brace a future edit introduces (round-5 ADVICE)
+    pagecut = (
+        f"""WHERE COALESCE((SELECT SUM(cnt) FROM
+               (SELECT round, COUNT(*) AS cnt FROM allrounds GROUP BY round) p
+               WHERE p.round < a.round), 0) < {pagecount}"""
+        if pagecount
+        else ""
+    )
     depth_cut = f" AND f.depth + 1 <= {depth_limit}" if depth_limit else ""
     offsite_cut = (
         " AND dh IN (" + ", ".join(str(h) for h in allowed_h) + ")"
@@ -984,7 +1001,7 @@ def _crawl_bfo_oracle(
                        FROM fetched_0 WHERE 1 = 0),
         seen_0 AS (SELECT '' AS fp WHERE 1 = 0),"""
         + ",".join(rounds_sql)
-        + """,
+        + f""",
         allrounds AS (
           SELECT 0 AS round, * FROM fetched_0
           UNION ALL SELECT 1, * FROM fetched_1
@@ -1001,11 +1018,7 @@ def _crawl_bfo_oracle(
         {pagecut}
         ORDER BY round, depth, okey
     """
-    ).format(pagecut=(
-        f"""WHERE COALESCE((SELECT SUM(cnt) FROM
-               (SELECT round, COUNT(*) AS cnt FROM allrounds GROUP BY round) p
-               WHERE p.round < a.round), 0) < {pagecount}"""
-        if pagecount else ""))
+    )
 
 
 

@@ -29,7 +29,23 @@ step 5).  Exotic registry suffixes outside the snapshot fail open.
 
 Session-cookie expiry, domain matching, path scoping, the Secure flag and
 Cookie-header ordering (longest path first) all come from the stdlib policy,
-exactly as in the reference.
+exactly as in the reference — with ONE deliberate divergence:
+
+Host-only return scope (DELIBERATE DIVERGENCE from the reference): this jar
+runs ``DefaultCookiePolicy(strict_ns_domain=DomainStrictNonDomain)``, so a
+cookie set WITHOUT a Domain attribute (host-only, including those
+host-normalized by the public-suffix guard) is returned only to the exact
+host that set it — RFC 6265 §5.1.3/§5.4 host-only semantics.  The reference
+uses the plain default policy, whose Netscape suffix heuristic DOES send a
+host-only cookie set on ``example.com`` to ``www.example.com`` (and would
+likewise send a guard-normalized ``github.io`` cookie to
+``alice.github.io``).  We keep the RFC-6265 hardening on purpose: the
+subdomain blanket is the pre-RFC-6265 Netscape behavior no modern browser
+implements, and it is exactly the channel through which a public-suffix
+cookie would leak across registry tenants.  The divergence is pinned by
+``tests/test_cookies.py`` (subdomain non-match) and the ``cookie_session``
+oracle encodes the RFC-6265 behavior — no oracle or test depends on
+subdomain delivery of host-only cookies.
 """
 
 from __future__ import annotations
@@ -121,11 +137,13 @@ def _guard_public_suffix_domains(
     ``_process_cookies``): a Set-Cookie whose dot-stripped Domain attribute
     is a public suffix is DROPPED unless it equals the request host, in
     which case the Domain attribute is STRIPPED so the stdlib jar stores a
-    host-only cookie — the effective behavior of the reference's post-parse
-    ``cookie.domain = request_domain`` (exact-host match, no subdomain
-    blanket).  Rewriting to ``Domain=<host>`` instead would make the stdlib
-    policy treat it as a domain cookie and send it to subdomains (e.g. a
-    ``github.io`` cookie leaking to ``alice.github.io``)."""
+    host-only cookie.  The reference instead rewrites
+    ``cookie.domain = request_domain`` post-parse, which keeps
+    ``domain_specified`` set and still Netscape-suffix-matches onto
+    subdomains (a ``github.io`` cookie reaches ``alice.github.io`` in the
+    reference).  Stripping + the jar's ``DomainStrictNonDomain`` policy
+    (see module docstring) closes that leak here — a deliberate RFC 6265
+    hardening, not reference parity."""
     from scrupyst_ray.functions.public_suffix import is_public_suffix
 
     host = (urlparse(url).hostname or "").lower()
@@ -148,9 +166,9 @@ class CookieJarState:
         # DomainStrictNonDomain = a cookie with NO explicit Domain attribute
         # (host-only, incl. those host-normalized by the public-suffix
         # guard) is returned only to the exact host that set it — RFC 6265
-        # host-only semantics.  Stdlib's default Netscape heuristic would
-        # suffix-match host-only cookies onto subdomains, which is how a
-        # guard-normalized github.io cookie could leak to alice.github.io.
+        # host-only semantics.  DELIBERATE DIVERGENCE: the reference's
+        # plain default policy suffix-matches host-only cookies onto
+        # subdomains (pre-RFC Netscape behavior); see module docstring.
         self.jar = CookieJar(
             policy=DefaultCookiePolicy(
                 strict_ns_domain=DefaultCookiePolicy.DomainStrictNonDomain

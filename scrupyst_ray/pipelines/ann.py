@@ -133,12 +133,55 @@ def _kmeans(m: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
     return centroids
 
 
-_IVF_VERSION = 2  # v2: quantizer-sample row order pinned (deterministic rebuilds)
+_IVF_VERSION = 3  # v3: corpus-fingerprint cache key + atomic staged publish
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """8-hex content key for the embeddings corpus: sha1 over each parquet
+    file's (relative name, size, mtime_ns).  Folding this into the derived-
+    store cache key means a changed corpus at the same path can never reuse
+    a stale ``_COMPLETE``-marked store (round-5 ADVICE)."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(p):
+        files = [p]
+    elif os.path.isdir(p):
+        files = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        files = []
+    h = hashlib.sha1()
+    for f in files:
+        st = os.stat(f)
+        h.update(
+            f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        )
+    return h.hexdigest()[:8]
+
+
+def _publish_store(staging: str, root: str) -> None:
+    """Atomically publish a FULLY-BUILT staging dir as *root* (round-5
+    ADVICE): the rename is the commit point, so a concurrently-running
+    builder can never observe (or clobber) a half-written store.  Losing
+    the rename race just discards our staging copy — the winner's store is
+    byte-equivalent (deterministic build)."""
+    try:
+        os.rename(staging, root)
+    except OSError:
+        if not os.path.exists(os.path.join(root, "_COMPLETE")):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _ivf_root(sf_dir: str, n_clusters: int) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join("/tmp", f"scrupyst_ivf_v{_IVF_VERSION}_{base}_c{n_clusters}")
+    return os.path.join(
+        "/tmp",
+        f"scrupyst_ivf_v{_IVF_VERSION}_{base}"
+        f"_{_corpus_fingerprint(sf_dir)}_c{n_clusters}",
+    )
 
 
 def build_ivf_index(
@@ -156,9 +199,14 @@ def build_ivf_index(
       and written under ``cell=<c>/`` hive partitions, so a probe later
       reads only the probed partitions' files — the page-store pattern
       (``stages/fetch.py:64-123``).
-    - Idempotent/resumable: a ``_COMPLETE`` marker gates reuse; a killed
-      build rebuilds from scratch (the store is derived data).
+    - Idempotent/resumable: the store is built in a ``mkdtemp`` staging dir
+      and atomically ``os.rename``d into place (``_publish_store``); the
+      ``_COMPLETE`` marker plus corpus-fingerprint cache key gate reuse,
+      and a killed build leaves only an orphan staging dir (derived data —
+      rebuilt from scratch).
     """
+    import tempfile
+
     root = _ivf_root(sf_dir, n_clusters)
     cells_dir = os.path.join(root, "cells")
     cent_path = os.path.join(root, "centroids.npy")
@@ -176,15 +224,15 @@ def build_ivf_index(
         cell = (_normalize(mb) @ cents.T).argmax(axis=1)
         return b.append_column("cell", pa.array(cell.astype(np.int64), pa.int64()))
 
-    shutil.rmtree(cells_dir, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="scrupyst_ivf_stage_", dir="/tmp")
     emb.map_batches(assign, batch_format="pyarrow").write_parquet(
-        cells_dir, partition_cols=["cell"]
+        os.path.join(staging, "cells"), partition_cols=["cell"]
     )
-    np.save(cent_path, centroids)
-    with open(marker, "w") as f:
+    np.save(os.path.join(staging, "centroids.npy"), centroids)
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write(f"n_clusters={n_clusters} sample_rows={sample_rows} seed={seed}\n")
-    return cells_dir, centroids
+    _publish_store(staging, root)
+    return cells_dir, np.load(cent_path)
 
 
 def _read_cells(cells_dir: str, cells: list[int]):

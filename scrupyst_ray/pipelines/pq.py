@@ -262,15 +262,17 @@ def adc_topk(
     )
 
 
-_IVFPQ_VERSION = 1
+_IVFPQ_VERSION = 2  # v2: corpus-fingerprint cache key + atomic staged publish
 
 
 def _ivfpq_root(sf_dir: str, n_clusters: int, m: int, n_codes: int) -> str:
+    from scrupyst_ray.pipelines.ann import _corpus_fingerprint
+
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(
         "/tmp",
         f"scrupyst_ivfpq_v{_IVFPQ_VERSION}_{base}"
-        f"_c{n_clusters}_m{m}_k{n_codes}",
+        f"_{_corpus_fingerprint(sf_dir)}_c{n_clusters}_m{m}_k{n_codes}",
     )
 
 
@@ -288,8 +290,11 @@ def build_ivfpq_store(
     the two indexes stay consistent.  ``cell_id`` is duplicated as a data
     column because hive partition values don't ride into partition-file
     reads (see ``ann._read_cells``).  Idempotent via a ``_COMPLETE``
-    marker, like every derived store."""
-    from scrupyst_ray.pipelines.ann import build_ivf_index
+    marker keyed on the corpus content fingerprint; built in a ``mkdtemp``
+    staging dir atomically ``os.rename``d into place
+    (``ann._publish_store``) so concurrent builders can never interleave a
+    half-written store (round-5 ADVICE)."""
+    from scrupyst_ray.pipelines.ann import _publish_store, build_ivf_index
 
     root = _ivfpq_root(sf_dir, n_clusters, m, n_codes)
     codes_dir = os.path.join(root, "codes")
@@ -329,18 +334,22 @@ def build_ivfpq_store(
             }
         )
 
-    import shutil
+    import tempfile
 
-    shutil.rmtree(codes_dir, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="scrupyst_ivfpq_stage_", dir="/tmp")
     _emb(sf_dir).map_batches(assign_encode, batch_format="pyarrow").write_parquet(
-        codes_dir, partition_cols=["cell"]
+        os.path.join(staging, "codes"), partition_cols=["cell"]
     )
-    np.save(os.path.join(root, "centroids.npy"), centroids)
-    np.save(os.path.join(root, "books.npy"), books)
-    with open(marker, "w") as f:
+    np.save(os.path.join(staging, "centroids.npy"), centroids)
+    np.save(os.path.join(staging, "books.npy"), books)
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
         f.write(f"c={n_clusters} m={m} k={n_codes}\n")
-    return codes_dir, centroids, books
+    _publish_store(staging, root)
+    return (
+        codes_dir,
+        np.load(os.path.join(root, "centroids.npy")),
+        np.load(os.path.join(root, "books.npy")),
+    )
 
 
 def ivfpq_topk(
@@ -388,6 +397,14 @@ def ivfpq_topk(
     shortlist = max(k, rerank)
 
     def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # empty parquet fragment → np.stack would raise
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.float64()),
+                }
+            )
         lt = ray.get(luts_ref)
         probes = ray.get(probe_ref)
         ids = b["vec_id"].to_numpy(zero_copy_only=False)

@@ -88,14 +88,32 @@ class TestPublicSuffixGuard:
         from scrupyst_ray.functions.cookies import CookieJarState
 
         # visiting github.io itself: Domain equals the request host, so the
-        # guard strips the attribute and the jar keeps a HOST-ONLY cookie —
-        # the reference's effective `cookie.domain = request_domain`
-        # (cookies.py:68-70) is an exact-host match, not a subdomain blanket
+        # guard strips the attribute and the jar keeps a HOST-ONLY cookie.
+        # DELIBERATE DIVERGENCE from the reference (see cookies.py module
+        # docstring): scrapy's plain default policy would still Netscape-
+        # suffix-match this onto alice.github.io; our DomainStrictNonDomain
+        # policy pins RFC 6265 exact-host return scope instead.
         jar = CookieJarState()
         jar.extract("http://github.io/", ["s=1; Domain=github.io; Path=/"])
         assert "s=1" in (jar.header_for("http://github.io/") or "")
         # host-only: must NOT be sent to subdomains of the suffix
         assert jar.header_for("http://alice.github.io/") is None
+
+    def test_host_only_cookie_exact_host_scope(self):
+        from scrupyst_ray.functions.cookies import CookieJarState
+
+        # Pin the documented divergence for ORDINARY host-only cookies too:
+        # a cookie set on example.com with no Domain attribute stays on
+        # example.com (RFC 6265).  The reference's default stdlib policy
+        # would also send it to www.example.com — we deliberately don't.
+        jar = CookieJarState()
+        jar.extract("http://example.com/", ["h=1; Path=/"])
+        assert "h=1" in (jar.header_for("http://example.com/") or "")
+        assert jar.header_for("http://www.example.com/") is None
+        # an EXPLICIT Domain attribute still gets reference-identical
+        # subdomain scope (domain cookie, leading-dot semantics)
+        jar.extract("http://example.com/", ["d=2; Domain=example.com"])
+        assert "d=2" in (jar.header_for("http://www.example.com/") or "")
 
     def test_private_section_suffix_rejected_for_subdomains(self):
         from scrupyst_ray.functions.cookies import CookieJarState
