@@ -89,13 +89,30 @@ class TestWebopsQueries:
 
 
 def test_crawl_resume_equivalence_query(ray_session):
-    """The driver-visible kill-resume gate: all three invariants must hold
-    (order, checkpoint-resume, seen-set) on a fresh pair of runs."""
+    """The driver-visible kill-resume gate (round-5 form): the killed+
+    resumed flagship crawl's order rows must be IDENTICAL to the Python
+    crawl simulation's prediction for an uninterrupted 5-round run — the
+    same independence the DuckDB ``_crawl_bfo_oracle`` enforces driver-side
+    (any checkpoint/restore divergence shows up as a row diff here)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scrupyst_ray.config import CrawlConfig
     from scrupyst_ray.pipelines.webops import crawl_resume_equivalence
+    from scrupyst_ray.sources.corpus import corpus_cache_dir
+    from tests.crawl_sim import load_pages_dict, simulate_crawl
 
     t = crawl_resume_equivalence("/root/testdata/sf0.001")
-    assert dict(zip(t["invariant"].to_pylist(), t["ok"].to_pylist())) == {
-        "order_identical": True,
-        "resumed_from_checkpoint": True,
-        "seen_set_identical": True,
-    }
+    got = list(zip(t["round"].to_pylist(), t["url"].to_pylist()))
+
+    corpus = corpus_cache_dir("/tmp", 8, 50)  # written by the query above
+    seeds = (
+        pq.read_table(os.path.join(corpus, "seeds.parquet"))
+        .sort_by("seq")["url"]
+        .to_pylist()
+    )
+    sim = simulate_crawl(
+        load_pages_dict(corpus), seeds, CrawlConfig(), max_rounds=5
+    )
+    assert len(got) > 0 and sorted(got) == sorted(sim.fetch_order)
