@@ -470,38 +470,81 @@ def dup_span_stats(sf_dir: str, width: int = 8):
     per-document fraction of duplicated windows — the filter signal.
     Documents with fewer than *width* tokens have no windows and are absent.
 
-    Scale shape: the window stream is ~1 row per token carrying the md5 as
-    two uint64 halves — text never moves; ONE digest-BUCKET-keyed groupby
-    computes everything group-local (same shape as the exact-Jaccard
-    inverted index: all occurrences of a digest land in one bucket, a
-    vectorized sort + run-length pass flags duplicates and reduces to
-    per-doc partials in place), then a small doc_id-keyed aggregate sums
-    the per-bucket partials.  Round 4 removed the count-groupby + join-back
-    of the earlier shape — two of its three all-to-alls were barrier
-    latency, not work.  Equivalent to the paper's suffix-array pass without
-    a global sorted structure."""
+    Scale shape: the window stream is ~1 row per token carrying a 128-bit
+    fingerprint as two uint64 halves — text never moves; ONE
+    digest-BUCKET-keyed groupby computes everything group-local (same
+    shape as the exact-Jaccard inverted index: all occurrences of a digest
+    land in one bucket, a vectorized sort + run-length pass flags
+    duplicates and reduces to per-doc partials in place), then a small
+    doc_id-keyed aggregate sums the per-bucket partials.  Round 4 removed
+    the count-groupby + join-back of the earlier shape — two of its three
+    all-to-alls were barrier latency, not work.  Equivalent to the paper's
+    suffix-array pass without a global sorted structure.
+
+    Window fingerprint (round 5 — the last per-row Python hot loop,
+    vectorized per the r4 verdict): each UNIQUE token in the batch is
+    md5-hashed ONCE into two uint64 halves, and a window's 128-bit
+    fingerprint is a fixed odd-constant linear combination of its
+    ``width`` token hashes per lane (wrapping uint64 arithmetic — 8
+    vectorized multiply-adds over the flat token array replace one
+    string-join + md5 call PER WINDOW).  Token sequences map 1:1 to the
+    old joined strings (\\S+ tokens contain no whitespace), and with
+    md5-uniform inputs two DIFFERENT windows agree on both lanes with
+    probability ~2^-128 per pair — the same collision class as md5 itself,
+    so the duplicate-equality classes (all the downstream consumes; the
+    digest never leaves the pipeline) are unchanged, which the DuckDB
+    md5-of-window-text oracle hash-verifies end to end."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_buckets = _parts() * 4
+    # one fixed odd multiplier per window position and lane (splitmix64
+    # outputs — any fixed odd constants work; odd => each term bijective)
+    rng = np.random.default_rng(0x5CA1AB1E)
+    coef = (rng.integers(0, 2**63, size=(2, width), dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
     def windows(b: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        h1s: list[int] = []
-        h2s: list[int] = []
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            toks = ws_tokens(t)
-            for i in range(len(toks) - width + 1):
-                dig = hashlib.md5(" ".join(toks[i : i + width]).encode()).digest()
-                ids.append(d)
-                h1s.append(int.from_bytes(dig[:8], "big"))
-                h2s.append(int.from_bytes(dig[8:], "big"))
-        h1 = np.array(h1s, np.uint64)
+        toks_per_doc = [ws_tokens(t) for t in b["text"].to_pylist()]
+        flat = [tk for toks in toks_per_doc for tk in toks]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h1": pa.array([], pa.uint64()),
+                "h2": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < width:
+            return empty
+        # md5 each UNIQUE token once; broadcast to positions
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        tok_h = np.empty((2, len(uniq)), np.uint64)
+        for j, tk in enumerate(uniq):
+            dg = hashlib.md5(tk.encode()).digest()
+            tok_h[0, j] = int.from_bytes(dg[:8], "big")
+            tok_h[1, j] = int.from_bytes(dg[8:], "big")
+        pos_h = tok_h[:, inv]  # (2, n_tokens)
+        n = pos_h.shape[1]
+        # lane[k][p] = sum_j coef[k, j] * pos_h[k, p + j]  (wrapping uint64)
+        lanes = np.zeros((2, n - width + 1), np.uint64)
+        for j in range(width):
+            lanes += coef[:, j : j + 1] * pos_h[:, j : j + n - width + 1]
+        # keep only windows fully inside one document
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        lens = np.array([len(t) for t in toks_per_doc], np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        n_win = np.maximum(lens - width + 1, 0)
+        keep = np.concatenate(
+            [np.arange(s, s + w) for s, w in zip(starts, n_win) if w > 0]
+        ).astype(np.int64) if n_win.any() else np.empty(0, np.int64)
+        if keep.size == 0:
+            return empty
+        h1, h2 = lanes[0][keep], lanes[1][keep]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, n_win), pa.int64()),
                 "h1": pa.array(h1, pa.uint64()),
-                "h2": pa.array(np.array(h2s, np.uint64), pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
                 "bucket": pa.array(
-                    (h1 % n_buckets).astype(np.int64), pa.int64()
+                    (h1 % np.uint64(n_buckets)).astype(np.int64), pa.int64()
                 ),
             }
         )
