@@ -540,7 +540,8 @@ _DRIVER_WINDOW = [
     "segment_dedup",
     "dup_span_stats",
     "jaccard_dedup_keep",
-    "hits_scores",
+    # SQL-oracled new in round 5 (the HLL ESTIMATE twin — was rows-only)
+    "vocab_by_lang_hll",
     "referer_policy_matrix",
 ]
 
@@ -2212,6 +2213,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(DISTINCT tok) AS vocab_exact,
                    TRUE AS hll_ok
             FROM t GROUP BY lang ORDER BY lang
+        """,
+        # the HLL ESTIMATE itself, recomputed end to end in SQL (round 5 —
+        # previously rows-only, with vocab_hll_gate as the floor): md5
+        # first-8-bytes token hash (engine switched off blake2b for SQL
+        # recomputability), register = h >> 12 top bits, rho via
+        # bin-length on the HUGEINT-emulated (h<<12 | 0xFFF) >> 11, exact
+        # HUGEINT harmonic denominator (sum of powers of two — the engine
+        # accumulates the same exact integer, so ONE identical IEEE divide
+        # on each side), alpha expression written with the engine's own
+        # literals, and the linear-counting branch.  printf('%.0f') for
+        # the same half-even rounding as Python round().
+        "vocab_by_lang_hll": """
+            WITH toks AS (
+              SELECT DISTINCT lang,
+                     UNNEST(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            h AS (SELECT lang,
+                         CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)
+                             AS h64
+                  FROM toks),
+            r AS (SELECT lang, CAST(h64 >> 52 AS BIGINT) AS register,
+                         54 - length(bin(CAST((((CAST(h64 AS HUGEINT) * 4096)
+                               % 18446744073709551616 + 4095) // 2048)
+                               AS UBIGINT))) AS rho
+                  FROM h),
+            mx AS (SELECT lang, register, MAX(rho) AS rho
+                   FROM r GROUP BY 1, 2),
+            langs AS (SELECT DISTINCT lang FROM documents),
+            grid AS (SELECT l.lang, g.register
+                     FROM langs l, generate_series(0, 4095) g(register)),
+            regs AS (SELECT grid.lang, COALESCE(mx.rho, 0) AS rho
+                     FROM grid LEFT JOIN mx
+                       ON mx.lang = grid.lang
+                      AND mx.register = grid.register),
+            agg AS (SELECT lang,
+                           SUM(CAST(power(2, 53 - rho) AS HUGEINT)) AS s,
+                           CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS zeros
+                    FROM regs GROUP BY lang),
+            est AS (SELECT lang, zeros,
+                           (CAST(0.7213 AS DOUBLE)
+                             / (1 + CAST(1.079 AS DOUBLE) / 4096))
+                             * 4096 * 4096
+                             * CAST(9007199254740992 AS DOUBLE)
+                             / CAST(s AS DOUBLE) AS raw
+                    FROM agg)
+            SELECT lang,
+                   CAST(printf('%.0f',
+                        CASE WHEN raw <= CAST(10240 AS DOUBLE)
+                                  AND zeros > 0
+                             THEN 4096 * ln(CAST(4096 AS DOUBLE) / zeros)
+                             ELSE raw END) AS BIGINT) AS vocab_est
+            FROM est ORDER BY lang
         """,
         # exact per-source token-length quantiles (quantile_disc ≡ numpy
         # inverted_cdf on the Ray side)

@@ -18,6 +18,8 @@ deterministic and underestimate by at most one bucket width.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 SUB_BITS = 5
@@ -103,13 +105,22 @@ def hll_partial(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hll_estimate(idx: np.ndarray, rho: np.ndarray) -> int:
-    """Cardinality estimate from merged sparse registers (absent = 0)."""
+    """Cardinality estimate from merged sparse registers (absent = 0).
+
+    The harmonic-mean denominator is accumulated as an EXACT integer
+    (``sum 2^-reg = S / 2^53`` with S a Python int — every register term is
+    a power of two, so S is exact and ORDER-FREE), then one float divide.
+    This makes the estimate bit-reproducible across summation orders and
+    recomputable by the DuckDB oracle (HUGEINT sum of the same powers of
+    two → identical IEEE division);  ``np.sum(np.exp2(...))`` would round
+    differently depending on pairwise-summation order."""
     reg = np.zeros(HLL_M, dtype=np.int64)
     reg[np.asarray(idx, dtype=np.int64)] = np.asarray(rho, dtype=np.int64)
-    est = _ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-reg.astype(np.float64)))
+    s = sum(1 << (53 - int(r)) for r in reg)  # exact: rho ∈ [0, 53]
+    est = _ALPHA * HLL_M * HLL_M * 9007199254740992.0 / float(s)
     zeros = int((reg == 0).sum())
     if est <= 2.5 * HLL_M and zeros:
-        est = HLL_M * np.log(HLL_M / zeros)  # linear counting
+        est = HLL_M * math.log(HLL_M / zeros)  # linear counting
     return int(round(est))
 
 

@@ -537,8 +537,17 @@ def vocab_by_lang_hll(sf_dir: str):
     HyperLogLog registers (``functions/sketches.py``, 4 KB per lang) merged
     with a ``groupby(lang, register).max`` — state is constant per lang at
     ANY corpus size, duplicate partials are harmless (max is idempotent),
-    estimate ≈1.6% standard error (bounded vs the exact query in tests)."""
-    from scrupyst_ray.functions.hashing import stable_hash64
+    estimate ≈1.6% standard error (bounded vs the exact query in tests,
+    and the ESTIMATE itself is hash-gated by a full DuckDB twin since
+    round 5).
+
+    Token hash: md5 first-8-bytes big-endian (NOT ``stable_hash64``'s
+    blake2b, which DuckDB cannot compute) — equally uniform, and it lets
+    the SQL oracle re-derive every register (``('0x'||substr(md5(tok),
+    1,16))::UBIGINT``), the rho math (bin-length bit twiddling in
+    HUGEINT), the exact harmonic denominator, and the linear-counting
+    branch, so the estimate is verified end to end rather than merely
+    floor-gated."""
     from scrupyst_ray.functions.sketches import hll_estimate, hll_partial
 
     ds = _docs(sf_dir, ["lang", "text"])
@@ -552,7 +561,14 @@ def vocab_by_lang_hll(sf_dir: str):
             if not toks:
                 continue
             h = np.fromiter(
-                (stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+                (
+                    int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                    )
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
             )
             idx, rho = hll_partial(h)
             langs.extend([lang] * len(idx))
