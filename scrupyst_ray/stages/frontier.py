@@ -190,7 +190,12 @@ def candidate_filter_reasons(
     ex = pc.extract_regex(
         dst, pattern=r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?P<h>[a-z0-9.\-]+)(?:[/?#]|$)"
     )
-    hosts_arr = ex.field("h") if ex.type.num_fields else ex
+    # pc.struct_field, NOT StructArray.field: the raw child accessor skips
+    # the parent struct's validity bitmap, so non-matching rows surface as
+    # '' instead of null and the parse_host fallback below never fired —
+    # scheme-relative/uppercase/userinfo hosts were misdropped as badurl
+    # (round-5 hypothesis find)
+    hosts_arr = pc.struct_field(ex, "h")
     null_mask = pc.is_null(hosts_arr).to_numpy(zero_copy_only=False)
     if null_mask.any():
         hosts_list = hosts_arr.to_pylist()
