@@ -1609,13 +1609,28 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= 10
             GROUP BY query_id ORDER BY query_id
         """,
-        # IVF machinery gate: at full probe the partitioned index must be
-        # lossless, so recall vs brute force is exactly 1.0 per query
+        # IVF machinery gate, numeric-ized round 5: at full probe the
+        # partitioned index must be LOSSLESS, so the Ray side reports the
+        # IVF pipeline's OWN top-k id-sum and this oracle recomputes the
+        # exact cosine top-k id-sum from the embeddings — a lost vector,
+        # broken probe merge, or routing bug hash-mismatches without any
+        # literal booleans
         "ann_ivf_recall": """
-            SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
-            FROM (VALUES (0, TRUE), (7, TRUE), (23, TRUE), (41, TRUE))
-                 AS t(query_id, recall_ok)
-            ORDER BY query_id
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 7, 23, 41)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         CAST(list_cosine_similarity(e.embedding, q.qe)
+                             AS DOUBLE) AS c
+                  FROM q, embeddings e),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c DESC, vec_id) AS rn
+                  FROM s)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(SUM(vec_id) AS BIGINT) AS topk_id_sum,
+                   TRUE AS recall_ok
+            FROM r WHERE rn <= 10
+            GROUP BY query_id ORDER BY query_id
         """,
         # PARTIAL-probe gate, numeric-ized round 5: the exact cosine top-k
         # id-sum AND the exact top-1 vec_id are recomputed here from the

@@ -362,15 +362,20 @@ def ivf_recall(
     nprobe: int | None = None,
     min_recall: float = 0.9,
 ):
-    """(query_id, recall_ok) — IVF top-k recall vs exact brute force, the
-    CORRECTNESS-visible quality gate for the index machinery (oracle: every
-    row TRUE).  The default probes ALL cells, where the store must be
-    lossless — recall exactly 1.0 proves every vector landed in exactly one
-    readable partition and the probe path re-ranks identically to brute
-    force.  (Partial-probe recall is data-dependent: the driver embeddings
-    are near-isotropic, so low nprobe caps recall for ANY IVF — tests
-    assert the partial-probe floor separately.)  Both sides are tiny driver
-    merges of distributed partial top-k results."""
+    """(query_id, topk_id_sum, recall_ok) — IVF top-k vs exact brute force,
+    the CORRECTNESS-visible quality gate for the index machinery.  The
+    default probes ALL cells, where the store must be LOSSLESS — so
+    ``topk_id_sum`` is the id-sum of the IVF pipeline's own top-k, and the
+    SQL oracle independently recomputes the EXACT cosine top-k id-sum from
+    the embeddings: any vector lost by the partitioned store, any
+    mis-ranked probe merge, or any routing bug makes the Ray-side sum
+    diverge from the oracle's and hash-mismatches (numeric-ized in round 5
+    — previously an all-literal TRUE grid).  ``recall_ok`` additionally
+    carries the earned set-recall boolean.  (Partial-probe recall is
+    data-dependent: the driver embeddings are near-isotropic, so low
+    nprobe caps recall for ANY IVF — tests assert the partial-probe floor
+    separately.)  Both sides are tiny driver merges of distributed partial
+    top-k results."""
     if nprobe is None:
         nprobe = n_clusters
     query_ids = query_ids or [0]
@@ -391,6 +396,9 @@ def ivf_recall(
     return pa.table(
         {
             "query_id": pa.array(qs, pa.int64()),
+            "topk_id_sum": pa.array(
+                [sum(ivf_sets.get(q, set())) for q in qs], pa.int64()
+            ),
             "recall_ok": pa.array(ok, pa.bool_()),
         }
     )
