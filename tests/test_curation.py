@@ -376,6 +376,48 @@ class TestDupSpanStats:
         rows = dup_span_stats(sf, width=8).take_all()
         assert [r["doc_id"] for r in rows] == [1]
 
+    def test_random_corpus_matches_naive_reference(self, tmp_path):
+        """The round-5 vectorized window fingerprint (per-unique-token md5 +
+        odd-constant lane combination) must produce the SAME duplicate
+        equality classes as the naive joined-string-per-window definition.
+        A seeded small-alphabet corpus forces heavy cross- and within-doc
+        window collisions; unicode \\xa0/\\x85 land INSIDE tokens (\\S+
+        keeps them), pinning tokenizer agreement too."""
+        import random
+        from collections import Counter
+
+        from scrupyst_ray.functions.textstats import ws_tokens
+        from scrupyst_ray.pipelines.curation import dup_span_stats
+
+        rng = random.Random(1234)
+        alphabet = ["aa", "bb", "cc", "d\xa0d", "e\x85e", "ff"]
+        docs = [
+            " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 40)))
+            for _ in range(25)
+        ]
+        width = 4
+        counts: Counter = Counter()
+        per_doc: dict[int, list[str]] = {}
+        for i, t in enumerate(docs):
+            toks = ws_tokens(t)
+            wins = [
+                " ".join(toks[j : j + width])
+                for j in range(len(toks) - width + 1)
+            ]
+            per_doc[i] = wins
+            counts.update(wins)
+        want = {
+            i: (len(w), sum(1 for x in w if counts[x] > 1))
+            for i, w in per_doc.items()
+            if w
+        }
+        sf = _write_docs(str(tmp_path), docs)
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dup_span_stats(sf, width=width).take_all()
+        }
+        assert got == want and any(d for _, d in want.values())
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestCurateCorpus:
