@@ -302,6 +302,46 @@ class TestCountMin:
         assert ex == cm
 
 
+def test_hll_sql_twin_harmonic_branch(ray_session, tmp_path):
+    """The driver corpus's tiny vocab (31/lang) exercises only the HLL
+    linear-counting branch; this pins the HARMONIC branch's bit-for-bit
+    SQL parity too — 15k distinct tokens push the raw estimate past the
+    2.5m cutoff, so the exact-integer denominator sum, the alpha
+    expression and the half-even rounding must all agree between the
+    engine and the DuckDB twin at full register occupancy."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from scrupyst_ray.pipelines.textstats import vocab_by_lang_hll
+
+    toks = [f"tok{i}" for i in range(15000)]
+    docs = [" ".join(toks[i : i + 100]) for i in range(0, 15000, 100)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "lang": pa.array(["en"] * len(docs)),
+                "text": pa.array(docs),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = vocab_by_lang_hll(str(tmp_path)).take_all()
+    est = got[0]["vocab_est"]
+    assert est > 10240  # harmonic branch, not linear counting
+    assert abs(est / 15000 - 1.0) < 0.05  # ~1.6% standard error at p=12
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = e.oracle_sql()["vocab_by_lang_hll"]
+    assert con.execute(sql).fetchall() == [("en", est)]
+
+
 def test_vocab_hll_gate(ray_session):
     from scrupyst_ray.pipelines.textstats import vocab_hll_gate
 
